@@ -1,0 +1,29 @@
+"""tpusparse — a TPU-native sparse SpMV/SpMM library.
+
+A from-scratch JAX/Pallas re-imagination of the capability surface of the
+reference CUDA study ``PACTHEMAN123/spMV-test`` (see SURVEY.md): the operation
+is ``Y = X @ A`` with ``X: (M,)`` or ``(B, M)``, ``A: (M, N)`` sparse, fp32 by
+default (reference README.md:29-36, test/main.cpp:4).
+
+Layers (SURVEY.md §1 "TPU mapping"):
+
+- ``tpusparse.formats``   — host-side converters (CSR/COO ingestion, ELL,
+  bitmap blocked-ELL, BSR block-sparse, binned scheduling), replacing the
+  reference's C++ converter classes (matrix_csr.cpp, wsp.cpp, awsp.cpp, ...).
+- ``tpusparse.kernels``   — Pallas TPU kernels + XLA baselines, replacing the
+  14 CUDA kernels (naive.cu, wsp.cu, asp.cu, awsp.cu, awsp_ref.cu, ...).
+- ``tpusparse.ops``       — the public dispatch surface (spmv / spmm).
+- ``tpusparse.parallel``  — mesh / collectives / partitioned multi-chip SpMV
+  (no reference counterpart; mandated by BASELINE.json north star).
+- ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
+  harness, replacing SparseSgemvTester (tester.cpp).
+- ``tpusparse.bench``     — timing, roofline accounting, reports, replacing
+  TIME_KERNEL (kernel.hpp:31-48) and profile.sh.
+- ``tpusparse.native``    — C++ fast-path converters (ctypes), parity with the
+  reference's native host layer.
+"""
+
+__version__ = "0.1.0"
+
+from tpusparse.ops import spmv, spmm  # noqa: F401
+from tpusparse.config import SpmvConfig  # noqa: F401

@@ -1,0 +1,107 @@
+"""Benchmark suites: headline (driver-facing) and full kernel sweep."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes, roofline_fraction
+from tpusparse.bench.runner import BenchResult, device_time
+from tpusparse.config import SpmvConfig
+from tpusparse.testing import generators
+
+
+def _canonical_workload(cfg: SpmvConfig):
+    a = generators.random_sparse_matrix(cfg.m, cfg.n, density=cfg.density,
+                                        seed=cfg.seed,
+                                        distribution=cfg.distribution)
+    x = generators.random_sparse_vector(cfg.m, density=cfg.x_density,
+                                        seed=cfg.seed)
+    return a, x
+
+
+def registry() -> list[dict[str, Any]]:
+    """All benchable kernels: name, prepare(dense)->fmt, run(fmt,x)->y."""
+    from tpusparse.kernels.dense import dense_pallas, dense_xla
+
+    entries = [
+        dict(name="dense_xla", prepare=lambda a: a,
+             run=lambda f, x: dense_xla(f, x)),
+        dict(name="dense_pallas", prepare=lambda a: a,
+             run=lambda f, x: dense_pallas(f, x)),
+    ]
+    try:  # sparse kernels appear as they land
+        from tpusparse.formats.bell import BellMatrix
+
+        entries.append(dict(
+            name="bell_pallas",
+            prepare=lambda a: BellMatrix.from_dense(a),
+            run=lambda f, x: f.spmv(x),
+        ))
+    except ImportError:
+        pass
+    try:
+        from tpusparse.formats.binned import BinnedBellMatrix
+
+        entries.append(dict(
+            name="bell_binned_pallas",
+            prepare=lambda a: BinnedBellMatrix.from_dense(a),
+            run=lambda f, x: f.spmv(x),
+        ))
+    except ImportError:
+        pass
+    try:
+        from tpusparse.formats.bsr import BsrMatrix
+
+        entries.append(dict(
+            name="bsr_pallas",
+            prepare=lambda a: BsrMatrix.from_dense(a),
+            run=lambda f, x: f.spmv(x),
+        ))
+    except ImportError:
+        pass
+    return entries
+
+
+def sweep(cfg: SpmvConfig | None = None, verbose: bool = True) -> list[BenchResult]:
+    """Bench every registered kernel on the canonical workload."""
+    cfg = cfg or SpmvConfig()
+    a, x = _canonical_workload(cfg)
+    nnz = int((a != 0).sum())
+    flops = 2 * nnz
+    results = []
+    for e in registry():
+        fmt = e["prepare"](a)
+        nbytes = format_bytes(fmt)
+        r = device_time(e["run"], fmt, x, name=e["name"],
+                        bytes_moved=nbytes, flops=flops, nnz=nnz)
+        results.append(r)
+        if verbose:
+            frac = roofline_fraction(nbytes, r.seconds)
+            print(f"{r} | {frac*100:.0f}% of HBM roofline on its own bytes")
+    return results
+
+
+def headline() -> dict[str, Any]:
+    """One JSON-able dict for the driver: best kernel vs dense baseline."""
+    cfg = SpmvConfig()
+    results = sweep(cfg, verbose=False)
+    dense = next(r for r in results if r.name == "dense_xla")
+    best = min(results, key=lambda r: r.seconds)
+    return {
+        "metric": f"spmv_nnz_per_s[{best.name}] M=N=4096 d=0.5 fp32",
+        "value": round(best.nnz_per_s / 1e9, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(dense.seconds / best.seconds, 3),
+        "detail": {
+            r.name: {
+                "us": round(r.seconds * 1e6, 1),
+                "gbps": round(r.gbps, 1) if r.gbps else None,
+                "roofline_frac": round(
+                    roofline_fraction(r.bytes_moved, r.seconds), 3),
+            }
+            for r in results
+        },
+        "hbm_gbps_assumed": detect_hbm_gbps(),
+    }

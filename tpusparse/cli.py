@@ -1,0 +1,110 @@
+"""CLI: correctness runs, benchmark sweeps, profiling.
+
+Replaces the reference's hard-coded entry point (test/main.cpp:4 — fixed
+4096x4096, fixed kernel list) and profile.sh (Nsight Compute capture) with a
+configurable command line:
+
+    python -m tpusparse.cli check --m 4096 --n 4096 --density 0.5
+    python -m tpusparse.cli bench --kernels dense_xla,bell_pallas
+    python -m tpusparse.cli profile --trace-dir /tmp/trace
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_workload_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--m", type=int, default=4096)
+    p.add_argument("--n", type=int, default=4096)
+    p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--density", type=float, default=0.5)
+    p.add_argument("--x-density", type=float, default=0.5)
+    p.add_argument("--distribution", default="uniform",
+                   choices=["uniform", "powerlaw", "banded", "blocks"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--kernels", default="all",
+                   help="comma-separated kernel names, or 'all'")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (interpret-mode Pallas)")
+
+
+def _config_from(args) -> "SpmvConfig":
+    from tpusparse.config import SpmvConfig
+
+    return SpmvConfig(m=args.m, n=args.n, batch=args.batch,
+                      density=args.density, x_density=args.x_density,
+                      distribution=args.distribution, seed=args.seed)
+
+
+def _select(entries, names: str):
+    if names == "all":
+        return entries
+    wanted = [s.strip() for s in names.split(",")]
+    by_name = {e["name"]: e for e in entries}
+    missing = [w for w in wanted if w not in by_name]
+    if missing:
+        raise SystemExit(
+            f"unknown kernels: {missing}; available: {sorted(by_name)}")
+    return [by_name[w] for w in wanted]
+
+
+def cmd_check(args) -> int:
+    from tpusparse.bench.suite import registry
+    from tpusparse.testing.tester import KernelEntry, SpmvTester
+
+    tester = SpmvTester(_config_from(args))
+    for e in _select(registry(), args.kernels):
+        tester.register(KernelEntry(e["name"], e["prepare"], e["run"]))
+    reports = tester.run(raise_on_fail=False)
+    return 0 if all(r.ok for r in reports) else 1
+
+
+def cmd_bench(args) -> int:
+    from tpusparse.bench.suite import sweep
+
+    sweep(_config_from(args), verbose=True)
+    return 0
+
+
+def cmd_headline(args) -> int:
+    from tpusparse.bench.suite import headline
+
+    print(json.dumps(headline()))
+    return 0
+
+
+def cmd_profile(args) -> int:
+    """Capture an XProf/Perfetto trace of one sweep (ncu/profile.sh analog)."""
+    import jax
+
+    from tpusparse.bench.suite import sweep
+
+    with jax.profiler.trace(args.trace_dir):
+        sweep(_config_from(args), verbose=True)
+    print(f"trace written to {args.trace_dir} (open with XProf/Perfetto)")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="tpusparse")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, fn in [("check", cmd_check), ("bench", cmd_bench),
+                     ("headline", cmd_headline), ("profile", cmd_profile)]:
+        p = sub.add_parser(name)
+        _add_workload_args(p)
+        if name == "profile":
+            p.add_argument("--trace-dir", default="/tmp/tpusparse-trace")
+        p.set_defaults(fn=fn)
+    args = parser.parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,119 @@
+"""Partitioned multi-chip SpMV/SpMM over a device mesh.
+
+BASELINE.json north star: row-partition the matrix across chips, exchange
+dense-vector segments over ICI, overlap with local compute. Three strategies
+(all dense-A v1; sparse formats plug in via the same local-kernel hook):
+
+- ``n``    — shard the output dim: each chip owns an A column-slab and its Y
+  slice; X replicated. No inter-chip traffic in steady state.
+- ``m``    — shard the contraction dim: each chip owns an A row-slab and its
+  X shard; partial Y's summed with ``psum`` over ICI. The chip-level lift of
+  the reference's split-M-across-warps + smem-reduce pattern (asp.cu:13-40).
+- ``ring`` — shard both: X shards rotate around the ring via ``ppermute``
+  while each chip consumes the matching row-slab of its local column-slab —
+  halo exchange overlapped with compute (the ring-attention analog,
+  SURVEY.md §5). Peak memory per chip: A/D + X/D, vs ``n``'s A/D + X.
+"""
+
+from __future__ import annotations
+
+import enum
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.7
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from tpusparse.parallel.mesh import default_mesh
+
+
+class Partition(str, enum.Enum):
+    N = "n"
+    M = "m"
+    RING = "ring"
+
+
+def _local_matvec(a_loc: jax.Array, x: jax.Array) -> jax.Array:
+    # local kernel hook — dense for now; formats swap in their spmv here
+    return jnp.dot(x, a_loc, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST).astype(a_loc.dtype)
+
+
+def _n_shard(mesh: Mesh, a, x):
+    def f(a_loc, x_full):
+        return _local_matvec(a_loc, x_full)
+
+    return _shard_map(f, mesh=mesh, in_specs=(P(None, "n"), P()),
+                      out_specs=P("n"))(a, x)
+
+
+def _m_shard(mesh: Mesh, a, x):
+    def f(a_loc, x_loc):
+        return lax.psum(_local_matvec(a_loc, x_loc), "n")
+
+    # note: the mesh axis is named "n" but here it carries M-shards
+    return _shard_map(f, mesh=mesh, in_specs=(P("n", None), P("n")),
+                      out_specs=P())(a, x)
+
+
+def _ring(mesh: Mesh, a, x):
+    d = mesh.shape["n"]
+
+    def f(a_loc, x_loc):
+        # a_loc: (M, N/D) column slab; x_loc: (M/D,) — chunk my_idx of X.
+        my = lax.axis_index("n")
+        chunk = x_loc.shape[0]
+
+        def step(s, carry):
+            y, xc = carry
+            # xc is X chunk ((my + s) % D) — consume the matching row band.
+            row0 = ((my + s) % d) * chunk
+            a_band = lax.dynamic_slice_in_dim(a_loc, row0, chunk, axis=0)
+            y = y + _local_matvec(a_band, xc)
+            # pass the chunk to the left neighbor; receive the next band's.
+            perm = [(i, (i - 1) % d) for i in range(d)]
+            xc = lax.ppermute(xc, "n", perm)
+            return (y, xc)
+
+        y0 = jnp.zeros((a_loc.shape[1],), a_loc.dtype)
+        # the carry becomes device-varying after the first ppermute; mark the
+        # zero init as varying over the axis so scan carry types line up
+        y0 = lax.pvary(y0, "n")
+        y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
+        return y
+
+    return _shard_map(f, mesh=mesh, in_specs=(P(None, "n"), P("n")),
+                      out_specs=P("n"))(a, x)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "partition"))
+def _spmv_sharded_jit(a, x, mesh: Mesh, partition: str):
+    if partition == Partition.N:
+        return _n_shard(mesh, a, x)
+    if partition == Partition.M:
+        return _m_shard(mesh, a, x)
+    if partition == Partition.RING:
+        return _ring(mesh, a, x)
+    raise ValueError(f"unknown partition {partition!r}")
+
+
+def spmv_sharded(a: Any, x: Any, mesh: Mesh | None = None,
+                 partition: str | Partition = Partition.N) -> jax.Array:
+    """Multi-chip y = x @ a. ``a`` dense (sparse formats: round 2 hook)."""
+    mesh = mesh or default_mesh()
+    partition = Partition(partition)
+    a = jnp.asarray(a)
+    x = jnp.asarray(x)
+    d = mesh.shape["n"]
+    if partition == Partition.N and a.shape[1] % d:
+        raise ValueError(f"N={a.shape[1]} not divisible by mesh size {d}")
+    if partition in (Partition.M, Partition.RING) and a.shape[0] % d:
+        raise ValueError(f"M={a.shape[0]} not divisible by mesh size {d}")
+    return _spmv_sharded_jit(a, x, mesh, partition)

@@ -1,0 +1,7 @@
+from tpusparse.utils.platform import (  # noqa: F401
+    on_tpu,
+    default_interpret,
+    cdiv,
+    round_up,
+)
+from tpusparse.utils.timing import time_fn, TimingResult  # noqa: F401
