@@ -1,0 +1,77 @@
+"""Converter unit tests: dense -> format -> dense round trips.
+
+SURVEY.md §4 calls the converters "the riskiest code — bitmap/padding logic";
+the reference shipped them untested. Every format must reproduce the dense
+matrix exactly (values are copied, not computed).
+"""
+
+import numpy as np
+import pytest
+
+from tpusparse.formats.bell import BellMatrix, bell_pack
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.ell import EllMatrix
+from tpusparse.testing import generators
+
+
+@pytest.fixture(scope="module", params=["uniform", "powerlaw", "blocks"])
+def dense(request):
+    return generators.random_sparse_matrix(
+        384, 256, density=0.4, seed=13, distribution=request.param)
+
+
+def test_csr_roundtrip(dense):
+    c = CsrMatrix.from_dense(dense)
+    np.testing.assert_array_equal(c.to_dense(), dense)
+    assert c.nnz == (dense != 0).sum()
+    assert c.row_ptr.shape == (dense.shape[1] + 1,)  # sentinel included
+    assert c.row_ptr[-1] == c.nnz
+
+
+def test_csr_from_coo(dense):
+    rows, cols = np.nonzero(dense)
+    c = CsrMatrix.from_coo(dense.shape[0], dense.shape[1],
+                           rows, cols, dense[rows, cols])
+    np.testing.assert_array_equal(c.to_dense(), dense)
+
+
+def test_csr_save_load(tmp_path, dense):
+    c = CsrMatrix.from_dense(dense)
+    p = str(tmp_path / "mat.npz")
+    c.save(p)
+    c2 = CsrMatrix.load(p)
+    np.testing.assert_array_equal(c2.to_dense(), dense)
+
+
+def test_ell_roundtrip(dense):
+    e = EllMatrix.from_dense(dense)
+    np.testing.assert_array_equal(e.to_dense(), dense)
+    assert e.val.shape[1] % 8 == 0
+
+
+def test_bell_roundtrip(dense):
+    b = BellMatrix.from_dense(dense, block_m=128)
+    np.testing.assert_array_equal(b.to_dense(), dense)
+    assert b.w % 128 == 0
+    assert b.vals.shape[2] == 128
+
+
+def test_bell_roundtrip_unaligned():
+    # M=200, N=250: both need padding (M -> 256, N -> 384 at block_m=256)
+    a = generators.random_sparse_matrix(200, 256, density=0.3, seed=3)
+    a = a[:, :250]
+    b = BellMatrix.from_dense(a.copy(), block_m=256)
+    np.testing.assert_array_equal(b.to_dense(), a)
+
+
+def test_bell_w_too_small_raises(dense):
+    with pytest.raises(ValueError):
+        bell_pack(np.ones((256, 256), np.float32), block_m=256, w=128)
+
+
+def test_bell_compression_accounting():
+    a = generators.random_sparse_matrix(1024, 256, density=0.1, seed=9)
+    b = BellMatrix.from_dense(a, block_m=1024)
+    dense_bytes = a.size * 4
+    assert b.device_bytes() < 0.5 * dense_bytes, (
+        f"10% density should compress >2x, got {b.device_bytes()/dense_bytes:.2f}")

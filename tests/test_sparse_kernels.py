@@ -1,0 +1,69 @@
+"""Sparse kernel parity vs the dense oracle (reference tolerance 1e-3)."""
+
+import numpy as np
+import pytest
+
+from tests.conftest import assert_close
+from tpusparse.formats.bell import BellMatrix
+from tpusparse.formats.ell import EllMatrix
+from tpusparse.testing import generators, reference
+
+
+@pytest.fixture(scope="module", params=["uniform", "powerlaw", "blocks"])
+def workload(request):
+    a = generators.random_sparse_matrix(
+        512, 384, density=0.4, seed=21, distribution=request.param)
+    x = generators.random_sparse_vector(512, density=0.5, seed=21)
+    return a, x, reference.sgemv_cpu(x, a)
+
+
+def test_ell_spmv(workload):
+    a, x, y_ref = workload
+    assert_close(EllMatrix.from_dense(a).spmv(x), y_ref, name="ell_spmv")
+
+
+def test_ell_spmm(workload):
+    a, x, _ = workload
+    xb = generators.random_sparse_batch(4, 512, density=0.5, seed=22)
+    y_ref = reference.sgemm_cpu(xb, a)
+    assert_close(EllMatrix.from_dense(a).spmm(xb), y_ref, name="ell_spmm")
+
+
+@pytest.mark.parametrize("block_m", [128, 256, 512])
+def test_bell_spmv(workload, block_m):
+    a, x, y_ref = workload
+    b = BellMatrix.from_dense(a, block_m=block_m)
+    assert_close(b.spmv(x), y_ref, name=f"bell_spmv[bm={block_m}]")
+
+
+def test_bell_spmm(workload):
+    a, x, _ = workload
+    xb = generators.random_sparse_batch(8, 512, density=0.5, seed=23)
+    y_ref = reference.sgemm_cpu(xb, a)
+    b = BellMatrix.from_dense(a, block_m=256)
+    assert_close(b.spmm(xb), y_ref, name="bell_spmm")
+
+
+def test_bell_dense_matrix():
+    # fully dense A: w == block_m, format degenerates to dense + bitmap
+    a = np.random.default_rng(0).uniform(-1, 1, (256, 128)).astype(np.float32)
+    x = generators.random_sparse_vector(256, density=0.5, seed=1)
+    b = BellMatrix.from_dense(a, block_m=256)
+    assert b.w == 256
+    assert_close(b.spmv(x), reference.sgemv_cpu(x, a), name="bell_dense")
+
+
+def test_bell_empty_matrix():
+    a = np.zeros((256, 128), np.float32)
+    x = generators.random_sparse_vector(256, density=0.5, seed=1)
+    b = BellMatrix.from_dense(a, block_m=256)
+    y = np.asarray(b.spmv(x))
+    np.testing.assert_array_equal(y, np.zeros(128, np.float32))
+
+
+def test_ops_dispatch(workload):
+    from tpusparse import spmv
+
+    a, x, y_ref = workload
+    assert_close(spmv(BellMatrix.from_dense(a, block_m=256), x), y_ref,
+                 name="ops.spmv[bell]")

@@ -1,0 +1,159 @@
+"""BELL: bitmap blocked-ELL — the flagship compressed format.
+
+Storage re-design of the reference's WSP/AWSP family for TPU tiles:
+
+- reference WSP: per-output-column bitmap over all of M + values padded to
+  the *global* max column nnz (wsp.cpp:10-39);
+- reference AWSP: per-32x32-block bitmap + values padded to the global max
+  *block* nnz (awsp.cpp:15-48);
+- BELL: blocks are (BM x 128) — 128 output columns wide (one lane tile), BM
+  deep along the contraction dim — with a per-block bitmap and values packed
+  *per output column within the block*, padded to the global max and rounded
+  to a multiple of 128 so the packed array is lane-aligned. Bigger BM =>
+  tighter padding (relative overhead of the max shrinks as sqrt(BM)); the
+  bitmap costs BM/8 bytes per column vs BM*4 dense — 3.1% overhead.
+
+Compression at density d: bytes/elem ≈ 4 * ceil(max_col_nnz/128)*128/BM + 1/8
+vs 4 dense. At d=0.5/BM=512 that's ~0.78x (50% is *high* for sparse formats,
+SURVEY.md §7); at d=0.1 it's ~0.28x.
+
+Bucketed/per-bin padding (the AWSP-Ref per-warp-max analog, awsp_ref.cpp:25-40)
+lives in formats/binned.py on top of this converter.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.utils import round_up
+
+_LANES = 128
+
+
+def _mask_to_words(mask: np.ndarray, block_m: int) -> np.ndarray:
+    """(..., BM) bool -> (..., BM/32) uint32, kernel-matched bit order.
+
+    The bit for in-block position ``l`` goes to word ``l % nwords`` at bit
+    ``l // nwords`` — the layout ``pltpu.repeat`` (which tiles the word array,
+    ``rep[:, l] = words[:, l % nwords]``) expands with a single variable
+    shift (kernels/bell_spmv.py _expand_bitmap). NOT the reference's
+    sequential bit order (wsp.cpp:10-22) — that order would need an
+    elementwise repeat Mosaic doesn't have.
+    """
+    nwords = block_m // 32
+    bits = mask.reshape(*mask.shape[:-1], 32, nwords)  # [b, w] with l = b*nwords + w
+    weights = (np.uint64(1) << np.arange(32, dtype=np.uint64))[:, None]
+    return (bits * weights).sum(axis=-2).astype(np.uint32)
+
+
+def _words_to_mask(words: np.ndarray, block_m: int) -> np.ndarray:
+    nwords = block_m // 32
+    bits = (words[..., None, :] >> np.arange(32, dtype=np.uint32)[:, None]) & 1
+    return bits.reshape(*words.shape[:-1], block_m).astype(bool)
+
+
+def bell_pack(a: np.ndarray, block_m: int = 512,
+              w: int | None = None) -> dict[str, Any]:
+    """Dense (M, N) -> bitmap (nb, mb, 128, BM/32) u32 + vals (nb, mb, 128, W).
+
+    Pure-numpy vectorized packing (the reference's converters are O(M*N)
+    scalar C++ loops, e.g. wsp.cpp:10-39; here the heavy lifting is numpy;
+    tpusparse.native provides a C++ fast path for huge matrices).
+    """
+    a = np.asarray(a)
+    m, n = a.shape
+    block_m = min(block_m, round_up(m, _LANES))
+    mp, np_ = round_up(m, block_m), round_up(n, _LANES)
+    if (mp, np_) != (m, n):
+        a = np.pad(a, ((0, mp - m), (0, np_ - n)))
+    mb, nb = mp // block_m, np_ // _LANES
+
+    # t[j, i, r, c]: value of A[i*BM + c, j*128 + r] — rows are output
+    # columns, lanes are the contraction dim (the kernel's gather axis).
+    t = a.reshape(mb, block_m, nb, _LANES).transpose(2, 0, 3, 1)
+    mask = t != 0
+    row_nnz = mask.sum(axis=-1)                   # (nb, mb, 128)
+    max_nnz = int(row_nnz.max()) if row_nnz.size else 0
+    if w is None:
+        w = max(round_up(max_nnz, _LANES), _LANES)
+    elif max_nnz > w:
+        raise ValueError(f"w={w} < max block-column nnz {max_nnz}")
+
+    rank = np.cumsum(mask, axis=-1) - mask        # exclusive rank
+    vals = np.zeros((nb, mb, _LANES, w), dtype=a.dtype)
+    jj, ii, rr, _ = np.nonzero(mask)
+    vals[jj, ii, rr, rank[mask]] = t[mask]
+    bitmap = _mask_to_words(mask, block_m)
+
+    return dict(bitmap=bitmap, vals=vals, shape=(m, n),
+                padded=(mp, np_), block_m=block_m, w=w,
+                nnz=int(mask.sum()))
+
+
+@jax.tree_util.register_pytree_node_class
+class BellMatrix:
+    def __init__(self, bitmap: Any, vals: Any, shape, padded, block_m: int,
+                 w: int, nnz: int):
+        self.bitmap = bitmap
+        self.vals = vals
+        self.shape = shape
+        self.padded = padded
+        self.block_m = block_m
+        self.w = w
+        self.nnz = nnz
+
+    def tree_flatten(self):
+        return ((self.bitmap, self.vals),
+                (self.shape, self.padded, self.block_m, self.w, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, block_m: int = 512,
+                   w: int | None = None) -> "BellMatrix":
+        return cls(**bell_pack(a, block_m=block_m, w=w))
+
+    def device_bytes(self) -> int:
+        vals = self.vals
+        return int(np.prod(self.bitmap.shape)) * 4 + \
+            int(np.prod(vals.shape)) * vals.dtype.itemsize
+
+    def to_dense(self) -> np.ndarray:
+        """Inverse of bell_pack (bitmap + packed -> dense), for round-trips."""
+        bitmap = np.asarray(self.bitmap)
+        vals = np.asarray(self.vals)
+        nb, mb = bitmap.shape[:2]
+        block_m = self.block_m
+        mask = _words_to_mask(bitmap, block_m)
+        rank = np.cumsum(mask, axis=-1) - mask
+        t = np.zeros((nb, mb, _LANES, block_m), dtype=vals.dtype)
+        jj, ii, rr, _ = np.nonzero(mask)
+        t[mask] = vals[jj, ii, rr, rank[mask]]
+        mp, np_ = self.padded
+        a = t.transpose(1, 3, 0, 2).reshape(mp, np_)
+        return a[:self.shape[0], :self.shape[1]]
+
+    def _run(self, x2d: jax.Array) -> jax.Array:
+        from tpusparse.kernels.bell_spmv import bell_spmm_padded
+
+        mp, np_ = self.padded
+        if x2d.shape[1] != mp:
+            x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+        b = x2d.shape[0]
+        y = bell_spmm_padded(self.bitmap, self.vals, x2d,
+                             block_m=self.block_m, w=self.w)  # (N_pad, B8)
+        return y[:self.shape[1], :b]
+
+    def spmv(self, x: Any) -> jax.Array:
+        y = self._run(jnp.asarray(x)[None, :])
+        return y[:, 0]
+
+    def spmm(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x)).T

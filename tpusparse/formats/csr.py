@@ -1,0 +1,89 @@
+"""CSR ingestion/interchange format (host-side, numpy).
+
+TPU-native rethink of the reference's ``CSRMatrix`` (matrix_csr.hpp:4-25):
+because the op is ``Y = X @ A``, the reference compresses along *columns* of A
+("CSR will be column-major", matrix_csr.cpp:7-23) — i.e. it stores CSR of
+A-transpose. We keep that semantic (each "row" of this CSR is one output
+element's gather list) and document it once: ``CsrMatrix`` IS standard CSR
+over ``A.T``. Differences from the reference, on purpose:
+
+- the row-pointer array includes the final sentinel (``len == n + 1``); the
+  reference omitted it and special-cased the last row in-kernel
+  (csr_naive.cu:15) — a bug farm we don't reproduce;
+- COO ingestion and npz save/load (SURVEY.md §5: formats get persistence in
+  lieu of checkpointing);
+- this is an *interchange* format: TPU compute formats (ELL/BELL/BSR) convert
+  from it; nothing gathers through raw row pointers on-device (XLA wants
+  static shapes, SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class CsrMatrix:
+    """CSR of A.T: row r lists the nonzeros of output column r of A."""
+
+    shape: tuple[int, int]          # (m, n) of the dense A
+    row_ptr: np.ndarray             # (n + 1,) int32, includes final sentinel
+    col_idx: np.ndarray             # (nnz,) int32 — indices into the M axis
+    values: np.ndarray              # (nnz,) dtype
+
+    @property
+    def nnz(self) -> int:
+        return int(self.values.size)
+
+    @property
+    def row_nnz(self) -> np.ndarray:
+        return np.diff(self.row_ptr)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray) -> "CsrMatrix":
+        a = np.asarray(a)
+        m, n = a.shape
+        at = a.T                                  # (n, m): rows = output cols
+        mask = at != 0
+        row_nnz = mask.sum(axis=1)
+        row_ptr = np.zeros(n + 1, dtype=np.int32)
+        np.cumsum(row_nnz, out=row_ptr[1:])
+        rows, cols = np.nonzero(mask)             # sorted by row, then col
+        return cls(shape=(m, n), row_ptr=row_ptr,
+                   col_idx=cols.astype(np.int32), values=at[rows, cols])
+
+    @classmethod
+    def from_coo(cls, m: int, n: int, rows: np.ndarray, cols: np.ndarray,
+                 values: np.ndarray) -> "CsrMatrix":
+        """COO triplets over A itself: A[rows[k], cols[k]] = values[k]."""
+        rows = np.asarray(rows, dtype=np.int64)
+        cols = np.asarray(cols, dtype=np.int64)
+        values = np.asarray(values)
+        order = np.lexsort((rows, cols))          # sort by output col, then m
+        rows, cols, values = rows[order], cols[order], values[order]
+        row_ptr = np.zeros(n + 1, dtype=np.int32)
+        np.add.at(row_ptr, cols + 1, 1)
+        np.cumsum(row_ptr, out=row_ptr)
+        return cls(shape=(m, n), row_ptr=row_ptr,
+                   col_idx=rows.astype(np.int32), values=values)
+
+    def to_dense(self) -> np.ndarray:
+        m, n = self.shape
+        at = np.zeros((n, m), dtype=self.values.dtype)
+        rows = np.repeat(np.arange(n), self.row_nnz)
+        at[rows, self.col_idx] = self.values
+        return at.T
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(path, shape=np.asarray(self.shape),
+                            row_ptr=self.row_ptr, col_idx=self.col_idx,
+                            values=self.values)
+
+    @classmethod
+    def load(cls, path: str) -> "CsrMatrix":
+        z = np.load(path)
+        return cls(shape=tuple(int(v) for v in z["shape"]),
+                   row_ptr=z["row_ptr"], col_idx=z["col_idx"],
+                   values=z["values"])
