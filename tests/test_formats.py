@@ -75,3 +75,18 @@ def test_bell_compression_accounting():
     dense_bytes = a.size * 4
     assert b.device_bytes() < 0.5 * dense_bytes, (
         f"10% density should compress >2x, got {b.device_bytes()/dense_bytes:.2f}")
+
+
+def test_sell_roundtrip(dense):
+    from tpusparse.formats.sell import SellMatrix
+
+    s = SellMatrix.from_dense(dense)
+    np.testing.assert_array_equal(s.to_dense(), dense)
+
+
+def test_sell_roundtrip_unaligned():
+    from tpusparse.formats.sell import SellMatrix
+
+    a = generators.random_sparse_matrix(200, 256, density=0.3, seed=3)[:, :250]
+    s = SellMatrix.from_dense(a.copy())
+    np.testing.assert_array_equal(s.to_dense(), a)

@@ -47,6 +47,6 @@ def test_graft_entry_compiles():
 
     fn, args = __graft_entry__.entry()
     y = np.asarray(jax.jit(fn)(*args))
-    a, x = args
-    assert_close(y, reference.sgemv_cpu(np.asarray(x), np.asarray(a)),
+    fmt, x = args
+    assert_close(y, reference.sgemv_cpu(np.asarray(x), fmt.to_dense()),
                  name="graft_entry")

@@ -67,3 +67,34 @@ def test_ops_dispatch(workload):
     a, x, y_ref = workload
     assert_close(spmv(BellMatrix.from_dense(a, block_m=256), x), y_ref,
                  name="ops.spmv[bell]")
+
+
+def test_sell_spmv(workload):
+    from tpusparse.formats.sell import SellMatrix
+
+    a, x, y_ref = workload
+    s = SellMatrix.from_dense(a)
+    assert_close(s.spmv(x), y_ref, name="sell_spmv")
+    assert s.w % 8 == 0
+
+
+def test_sell_spmm(workload):
+    from tpusparse.formats.sell import SellMatrix
+
+    a, x, _ = workload
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=24)
+    y_ref = reference.sgemm_cpu(xb, a)
+    assert_close(SellMatrix.from_dense(a).spmm(xb), y_ref, name="sell_spmm")
+
+
+def test_sell_window_step_degrade(workload):
+    # nt=4 at M=512; windows_per_step must degrade from 16 to 4 cleanly
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.kernels.sell_spmv import sell_spmm_padded
+
+    a, x, y_ref = workload
+    s = SellMatrix.from_dense(a)
+    import jax.numpy as jnp
+    out = sell_spmm_padded(s.idx, s.vals, jnp.asarray(x)[None, :], w=s.w,
+                           windows_per_step=16)
+    assert_close(out[0, :a.shape[1]], y_ref, name="sell_degrade")

@@ -32,6 +32,16 @@ def registry() -> list[dict[str, Any]]:
              run=lambda f, x: dense_pallas(f, x)),
     ]
     try:  # sparse kernels appear as they land
+        from tpusparse.formats.sell import SellMatrix
+
+        entries.append(dict(
+            name="sell_pallas",
+            prepare=lambda a: SellMatrix.from_dense(a),
+            run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
+        ))
+    except ImportError:
+        pass
+    try:
         from tpusparse.formats.bell import BellMatrix
 
         entries.append(dict(

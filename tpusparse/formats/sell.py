@@ -1,0 +1,105 @@
+"""SELL: sliced-ELL with in-window int8 indices — see kernels/sell_spmv.py.
+
+Converter-side ranking (numpy): the popcount work the reference did per
+kernel launch on the GPU (wsp.cu:37-39) happens once here at pack time; the
+device kernel then does only lane-local gathers. ``tpusparse.native``
+provides a C++ fast path for this packing when available.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.utils import round_up
+
+_LANES = 128
+_SUB = 8
+
+
+def sell_pack(a: np.ndarray, w: int | None = None) -> dict[str, Any]:
+    a = np.asarray(a)
+    m, n = a.shape
+    mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
+    if (mp, np_) != (m, n):
+        a = np.pad(a, ((0, mp - m), (0, np_ - n)))
+    nt, nb = mp // _LANES, np_ // _LANES
+
+    # t4[j, t, r, c] = A[t*128 + c, j*128 + r]: rows are output columns,
+    # lanes c are in-window contraction offsets.
+    t4 = a.reshape(nt, _LANES, nb, _LANES).transpose(2, 0, 3, 1)
+    mask = t4 != 0
+    row_nnz = mask.sum(axis=-1)                    # (nb, nt, 128)
+    max_nnz = int(row_nnz.max()) if row_nnz.size else 0
+    if w is None:
+        w = max(round_up(max_nnz, _SUB), _SUB)
+    elif max_nnz > w:
+        raise ValueError(f"w={w} < max window-column nnz {max_nnz}")
+
+    rank = np.cumsum(mask, axis=-1) - mask
+    vals = np.zeros((nb, nt, w, _LANES), dtype=a.dtype)
+    idx = np.zeros((nb, nt, w, _LANES), dtype=np.int8)
+    jj, tt, rr, cc = np.nonzero(mask)
+    wslot = rank[mask]
+    vals[jj, tt, wslot, rr] = t4[mask]
+    idx[jj, tt, wslot, rr] = cc.astype(np.int8)    # 0..127 fits int8
+
+    return dict(idx=idx, vals=vals, shape=(m, n), padded=(mp, np_),
+                w=w, nnz=int(mask.sum()))
+
+
+@jax.tree_util.register_pytree_node_class
+class SellMatrix:
+    def __init__(self, idx: Any, vals: Any, shape, padded, w: int, nnz: int):
+        self.idx = idx
+        self.vals = vals
+        self.shape = shape
+        self.padded = padded
+        self.w = w
+        self.nnz = nnz
+
+    def tree_flatten(self):
+        return ((self.idx, self.vals),
+                (self.shape, self.padded, self.w, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, w: int | None = None) -> "SellMatrix":
+        return cls(**sell_pack(a, w=w))
+
+    def device_bytes(self) -> int:
+        vals = self.vals
+        return int(np.prod(vals.shape)) * (vals.dtype.itemsize + 1)
+
+    def to_dense(self) -> np.ndarray:
+        idx = np.asarray(self.idx)
+        vals = np.asarray(self.vals)
+        nb, nt, w, _ = vals.shape
+        mp, np_ = self.padded
+        a = np.zeros((mp, np_), dtype=vals.dtype)
+        jj, tt, ww, rr = np.nonzero(vals)
+        cc = idx[jj, tt, ww, rr].astype(np.int64)
+        a[tt * _LANES + cc, jj * _LANES + rr] = vals[jj, tt, ww, rr]
+        return a[:self.shape[0], :self.shape[1]]
+
+    def _run(self, x2d: jax.Array) -> jax.Array:
+        from tpusparse.kernels.sell_spmv import sell_spmm_padded
+
+        mp, _ = self.padded
+        if x2d.shape[1] != mp:
+            x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+        out = sell_spmm_padded(self.idx, self.vals, x2d, w=self.w)
+        return out[::_SUB, :self.shape[1]]             # (B, n)
+
+    def spmv(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x)[None, :])[0]
+
+    def spmm(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x))

@@ -85,7 +85,7 @@ def _ring(mesh: Mesh, a, x):
         y0 = jnp.zeros((a_loc.shape[1],), a_loc.dtype)
         # the carry becomes device-varying after the first ppermute; mark the
         # zero init as varying over the axis so scan carry types line up
-        y0 = lax.pvary(y0, "n")
+        y0 = lax.pcast(y0, "n", to="varying")
         y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
         return y
 
