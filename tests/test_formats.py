@@ -90,3 +90,24 @@ def test_sell_roundtrip_unaligned():
     a = generators.random_sparse_matrix(200, 256, density=0.3, seed=3)[:, :250]
     s = SellMatrix.from_dense(a.copy())
     np.testing.assert_array_equal(s.to_dense(), a)
+
+
+def test_bsr_roundtrip(dense):
+    from tpusparse.formats.bsr import BsrMatrix
+
+    b = BsrMatrix.from_dense(dense, block_m=128)
+    np.testing.assert_array_equal(b.to_dense(), dense)
+
+
+def test_bsr_from_blocks():
+    from tpusparse.formats.bsr import BsrMatrix
+
+    rng = np.random.default_rng(4)
+    blocks = rng.uniform(-1, 1, (3, 128, 128)).astype(np.float32)
+    bi = np.array([0, 1, 0]); bj = np.array([1, 1, 3])
+    b = BsrMatrix.from_blocks(256, 512, bi, bj, blocks)
+    d = b.to_dense()
+    np.testing.assert_array_equal(d[0:128, 128:256], blocks[0])
+    np.testing.assert_array_equal(d[128:256, 128:256], blocks[1])
+    np.testing.assert_array_equal(d[0:128, 384:512], blocks[2])
+    assert (d[:, 0:128] == 0).all()

@@ -98,3 +98,24 @@ def test_sell_window_step_degrade(workload):
     out = sell_spmm_padded(s.idx, s.vals, jnp.asarray(x)[None, :], w=s.w,
                            windows_per_step=16)
     assert_close(out[0, :a.shape[1]], y_ref, name="sell_degrade")
+
+
+def test_bsr_spmv_blocks():
+    from tpusparse.formats.bsr import BsrMatrix
+
+    a = generators.random_sparse_matrix(512, 384, density=0.3, seed=7,
+                                        distribution="blocks", block=128)
+    x = generators.random_sparse_vector(512, density=0.5, seed=7)
+    b = BsrMatrix.from_dense(a, block_m=128)
+    assert_close(b.spmv(x), reference.sgemv_cpu(x, a), name="bsr_spmv")
+
+
+def test_bsr_spmm_and_empty_group():
+    from tpusparse.formats.bsr import BsrMatrix
+
+    a = generators.random_sparse_matrix(512, 384, density=0.3, seed=7,
+                                        distribution="blocks", block=128)
+    a[:, :128] = 0  # empty output group must still produce zeros
+    xb = generators.random_sparse_batch(5, 512, density=0.5, seed=8)
+    b = BsrMatrix.from_dense(a, block_m=256)
+    assert_close(b.spmm(xb), reference.sgemm_cpu(xb, a), name="bsr_spmm")

@@ -1,0 +1,144 @@
+"""BSR: block-sparse rows of MXU-sized dense tiles (see kernels/bsr_spmv.py).
+
+The storage analog of the reference's TCSR (tcsr.cpp:5-62): TCSR kept a
+32x32-block bitmap + compacted values + a block-CSR offset array; BSR keeps
+(block_m x 128) *dense* tiles plus their (i, j) coordinates — on TPU a block
+either feeds the MXU whole or is skipped whole, so intra-block compression
+(TCSR's bitmap) only adds decompress cost (see bell_spmv.py for why).
+
+Also the BSR *ingestion* path mandated by BASELINE.json ("COO/BSR
+ingestion"): ``from_blocks`` accepts scipy-style block data directly.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.utils import round_up
+
+_LANES = 128
+
+
+def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
+    a = np.asarray(a)
+    m, n = a.shape
+    mp, np_ = round_up(m, block_m), round_up(n, _LANES)
+    if (mp, np_) != (m, n):
+        a = np.pad(a, ((0, mp - m), (0, np_ - n)))
+    mb, nb = mp // block_m, np_ // _LANES
+
+    tiles = a.reshape(mb, block_m, nb, _LANES).transpose(0, 2, 1, 3)
+    nz = tiles.any(axis=(2, 3))                       # (mb, nb)
+    # sort by output group j (so accumulation runs are consecutive), then i
+    ii, jj = np.nonzero(nz)
+    order = np.lexsort((ii, jj))
+    ii, jj = ii[order], jj[order]
+    # every output group needs at least one block (it zero-initializes the
+    # output tile); give empty groups one explicit zero block
+    missing = np.setdiff1d(np.arange(nb), jj)
+    if missing.size:
+        ii = np.concatenate([ii, np.zeros_like(missing)])
+        jj = np.concatenate([jj, missing])
+        order = np.lexsort((ii, jj))
+        ii, jj = ii[order], jj[order]
+    blocks = tiles[ii, jj]                            # (nblk, TBm, 128)
+
+    return dict(bi=ii.astype(np.int32), bj=jj.astype(np.int32),
+                blocks=np.ascontiguousarray(blocks), shape=(m, n),
+                padded=(mp, np_), block_m=block_m,
+                nnz=int((a != 0).sum()))
+
+
+@jax.tree_util.register_pytree_node_class
+class BsrMatrix:
+    def __init__(self, bi: Any, bj: Any, blocks: Any, shape, padded,
+                 block_m: int, nnz: int):
+        self.bi = bi
+        self.bj = bj
+        self.blocks = blocks
+        self.shape = shape
+        self.padded = padded
+        self.block_m = block_m
+        self.nnz = nnz
+
+    def tree_flatten(self):
+        return ((self.bi, self.bj, self.blocks),
+                (self.shape, self.padded, self.block_m, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, block_m: int = 128) -> "BsrMatrix":
+        return cls(**bsr_pack(a, block_m=block_m))
+
+    @classmethod
+    def from_blocks(cls, m: int, n: int, bi: np.ndarray, bj: np.ndarray,
+                    blocks: np.ndarray) -> "BsrMatrix":
+        """scipy-BSR-style ingestion: block (bi[k], bj[k]) = blocks[k]."""
+        bi = np.asarray(bi, dtype=np.int32)
+        bj = np.asarray(bj, dtype=np.int32)
+        blocks = np.asarray(blocks)
+        nblk, block_m, bn = blocks.shape
+        if bn != _LANES:
+            raise ValueError(f"block width must be {_LANES}, got {bn}")
+        mp, np_ = round_up(m, block_m), round_up(n, _LANES)
+        order = np.lexsort((bi, bj))
+        bi, bj, blocks = bi[order], bj[order], blocks[order]
+        missing = np.setdiff1d(np.arange(np_ // _LANES), bj)
+        if missing.size:
+            bi = np.concatenate([bi, np.zeros_like(missing)])
+            bj = np.concatenate([bj, missing])
+            blocks = np.concatenate(
+                [blocks, np.zeros((missing.size, block_m, _LANES),
+                                  blocks.dtype)])
+            order = np.lexsort((bi, bj))
+            bi, bj, blocks = bi[order], bj[order], blocks[order]
+        return cls(bi=bi, bj=bj, blocks=np.ascontiguousarray(blocks),
+                   shape=(m, n), padded=(mp, np_), block_m=block_m,
+                   nnz=int((blocks != 0).sum()))
+
+    def device_bytes(self) -> int:
+        blocks = self.blocks
+        return int(np.prod(blocks.shape)) * blocks.dtype.itemsize + \
+            (np.prod(self.bi.shape) + np.prod(self.bj.shape)) * 4
+
+    @property
+    def block_density(self) -> float:
+        mb = self.padded[0] // self.block_m
+        nb = self.padded[1] // _LANES
+        return self.blocks.shape[0] / (mb * nb)
+
+    def to_dense(self) -> np.ndarray:
+        bi = np.asarray(self.bi)
+        bj = np.asarray(self.bj)
+        blocks = np.asarray(self.blocks)
+        mp, np_ = self.padded
+        a = np.zeros((mp, np_), dtype=blocks.dtype)
+        for k in range(blocks.shape[0]):
+            r0, c0 = bi[k] * self.block_m, bj[k] * _LANES
+            a[r0:r0 + self.block_m, c0:c0 + _LANES] += blocks[k]
+        return a[:self.shape[0], :self.shape[1]]
+
+    def _run(self, x2d: jax.Array) -> jax.Array:
+        from tpusparse.kernels.bsr_spmv import bsr_spmm_padded
+
+        mp, np_ = self.padded
+        b = x2d.shape[0]
+        if x2d.shape[1] != mp:
+            x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+        y = bsr_spmm_padded(self.bi, self.bj, self.blocks, x2d,
+                            block_m=self.block_m, n_padded=np_)
+        return y[:self.shape[1], :b]
+
+    def spmv(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x)[None, :])[:, 0]
+
+    def spmm(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x)).T
