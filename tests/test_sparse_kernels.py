@@ -119,3 +119,34 @@ def test_bsr_spmm_and_empty_group():
     xb = generators.random_sparse_batch(5, 512, density=0.5, seed=8)
     b = BsrMatrix.from_dense(a, block_m=256)
     assert_close(b.spmm(xb), reference.sgemm_cpu(xb, a), name="bsr_spmm")
+
+
+def test_binned_sell_powerlaw():
+    from tpusparse.formats.binned import BinnedSellMatrix
+    from tpusparse.formats.sell import SellMatrix
+
+    a = generators.random_sparse_matrix(512, 640, density=0.25, seed=31,
+                                        distribution="powerlaw")
+    x = generators.random_sparse_vector(512, density=0.5, seed=31)
+    b = BinnedSellMatrix.from_dense(a)
+    assert_close(b.spmv(x), reference.sgemv_cpu(x, a), name="binned_spmv")
+    # binning must beat flat SELL's global-max padding on skewed matrices
+    flat = SellMatrix.from_dense(a)
+    assert b.device_bytes() < 0.6 * flat.device_bytes()
+
+
+def test_binned_sell_uniform_roundtrip():
+    from tpusparse.formats.binned import BinnedSellMatrix
+
+    a = generators.random_sparse_matrix(256, 384, density=0.5, seed=2)
+    np.testing.assert_array_equal(BinnedSellMatrix.from_dense(a).to_dense(), a)
+
+
+def test_binned_sell_spmm():
+    from tpusparse.formats.binned import BinnedSellMatrix
+
+    a = generators.random_sparse_matrix(512, 640, density=0.25, seed=31,
+                                        distribution="powerlaw")
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=1)
+    b = BinnedSellMatrix.from_dense(a)
+    assert_close(b.spmm(xb), reference.sgemm_cpu(xb, a), name="binned_spmm")

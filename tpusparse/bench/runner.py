@@ -100,6 +100,11 @@ def device_time(
     nnz: int | None = None,
 ) -> BenchResult:
     """Per-call device seconds for ``fn(fmt, x)`` via the slope method."""
+    if bytes_moved is not None:
+        # working set must exceed VMEM (128 MB on v5e) by a safe margin or
+        # iterations run VMEM-resident and the slope collapses to ~0
+        copies = max(copies, -(-320_000_000 // max(bytes_moved, 1)))
+        copies = min(copies, 64)
     replicas = _replicate(fmt, copies)
     x = jax.device_put(jnp.asarray(x))
     run1 = _chained(fn, k1, copies)

@@ -52,12 +52,12 @@ def registry() -> list[dict[str, Any]]:
     except ImportError:
         pass
     try:
-        from tpusparse.formats.binned import BinnedBellMatrix
+        from tpusparse.formats.binned import BinnedSellMatrix
 
         entries.append(dict(
-            name="bell_binned_pallas",
-            prepare=lambda a: BinnedBellMatrix.from_dense(a),
-            run=lambda f, x: f.spmv(x),
+            name="sell_binned_pallas",
+            prepare=lambda a: BinnedSellMatrix.from_dense(a),
+            run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
         ))
     except ImportError:
         pass

@@ -1,0 +1,139 @@
+"""Binned SELL: sorted column groups with per-bucket padding widths.
+
+The static row-binning scheduler SURVEY.md §7 prescribes as the TPU
+replacement for the reference's *adaptive* padding machinery:
+
+- AWSP-Ref pads each warp stripe to a per-warp max and carries per-warp base
+  offsets (awsp_ref.cpp:25-40) so short rows don't pay for long ones;
+- WSP pays the global max for everyone (wsp.cpp:31) — catastrophic on skewed
+  matrices.
+
+Here: output columns are sorted by nnz (the SELL-sigma trick, sigma = whole
+matrix), grouped into 128-column tiles, and each tile assigned to a bucket
+whose SELL width is the smallest level covering its own max window nnz. One
+Pallas call per bucket (a handful of static shapes — XLA-friendly), then the
+output permutation is undone with a single gather. On power-law matrices the
+dense head pays W=128 while the long tail pays W=8.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from tpusparse.formats.sell import sell_pack
+from tpusparse.utils import round_up
+
+_LANES = 128
+
+# bucket width levels (slots per 128-window); smallest covering level wins
+_LEVELS = (8, 16, 32, 48, 64, 96, 128)
+
+
+@jax.tree_util.register_pytree_node_class
+class BinnedSellMatrix:
+    def __init__(self, buckets: Any, inv_perm: Any, shape, nnz: int,
+                 widths: tuple):
+        self.buckets = buckets          # list of dicts with idx/vals leaves
+        self.inv_perm = inv_perm        # (n,) int32 — undo column sort
+        self.shape = shape
+        self.nnz = nnz
+        self.widths = widths            # static: bucket widths, parallel list
+
+    def tree_flatten(self):
+        leaves = ([(b["idx"], b["vals"]) for b in self.buckets], self.inv_perm)
+        return leaves, (self.shape, self.nnz, self.widths)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        pairs, inv_perm = children
+        buckets = [dict(idx=i, vals=v) for i, v in pairs]
+        return cls(buckets, inv_perm, *aux)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray) -> "BinnedSellMatrix":
+        a = np.asarray(a)
+        m, n = a.shape
+        np_ = round_up(n, _LANES)
+        if np_ != n:
+            a = np.pad(a, ((0, 0), (0, np_ - n)))
+        col_nnz = (a != 0).sum(axis=0)
+        perm = np.argsort(-col_nnz, kind="stable").astype(np.int32)
+        a_sorted = a[:, perm]
+
+        nb = np_ // _LANES
+        # width demand per column group = max nnz of any column within any
+        # 128-row window of that group
+        mp = round_up(m, _LANES)
+        ap = np.pad(a_sorted, ((0, mp - m), (0, 0)))
+        win = (ap.reshape(mp // _LANES, _LANES, np_) != 0).sum(axis=1)
+        group_w = win.reshape(mp // _LANES, nb, _LANES).max(axis=(0, 2))
+
+        levels = np.array(_LEVELS)
+        need = levels.searchsorted(group_w, side="left")
+        buckets, widths, order = [], [], []
+        for li, level in enumerate(_LEVELS):
+            groups = np.nonzero(need == li)[0]
+            if groups.size == 0:
+                continue
+            cols = (groups[:, None] * _LANES +
+                    np.arange(_LANES)[None, :]).ravel()
+            packed = sell_pack(a_sorted[:, cols], w=int(level))
+            buckets.append(dict(idx=packed["idx"], vals=packed["vals"]))
+            widths.append(int(level))
+            order.append(cols)
+
+        order = np.concatenate(order) if order else np.arange(0)
+        # y_concat is in (bucket, group) order over sorted columns; undo both
+        final_perm = perm[order]                   # output col of y slot k
+        inv_perm = np.empty(np_, dtype=np.int32)
+        inv_perm[final_perm] = np.arange(np_, dtype=np.int32)
+        nnz = int((a != 0).sum())
+        return cls(buckets, inv_perm[:n], (m, n), nnz, tuple(widths))
+
+    def device_bytes(self) -> int:
+        total = 0
+        for b in self.buckets:
+            vals = b["vals"]
+            total += int(np.prod(vals.shape)) * (vals.dtype.itemsize + 1)
+        return total
+
+    def to_dense(self) -> np.ndarray:
+        from tpusparse.formats.sell import SellMatrix
+
+        m, n = self.shape
+        cols = []
+        for b, w in zip(self.buckets, self.widths):
+            idx, vals = np.asarray(b["idx"]), np.asarray(b["vals"])
+            nbk = vals.shape[0]
+            s = SellMatrix(idx, vals, (m, nbk * _LANES),
+                           (vals.shape[1] * _LANES, nbk * _LANES), w, 0)
+            cols.append(s.to_dense())
+        dense_sorted = np.concatenate(cols, axis=1) if cols else \
+            np.zeros((m, 0), np.float32)
+        return dense_sorted[:, np.asarray(self.inv_perm)]
+
+    def _run(self, x2d: jax.Array) -> jax.Array:
+        from tpusparse.kernels.sell_spmv import sell_spmm_padded
+
+        parts = []
+        for b, w in zip(self.buckets, self.widths):
+            vals = b["vals"]
+            mp = vals.shape[1] * _LANES
+            xp = x2d
+            if xp.shape[1] != mp:
+                xp = jnp.pad(xp, ((0, 0), (0, mp - xp.shape[1])))
+            out = sell_spmm_padded(b["idx"], vals, xp, w=w)
+            parts.append(out[::8])                 # (B, nb_k*128)
+        y_sorted = jnp.concatenate(parts, axis=1)
+        return jnp.take(y_sorted, self.inv_perm, axis=1)
+
+    def spmv(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x)[None, :])[0]
+
+    def spmm(self, x: Any) -> jax.Array:
+        return self._run(jnp.asarray(x))
