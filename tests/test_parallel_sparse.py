@@ -1,0 +1,69 @@
+"""Sharded sparse SpMV/SpMM on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from tests.conftest import assert_close
+from tpusparse.formats.sell import SellMatrix
+from tpusparse.parallel.mesh import make_mesh
+from tpusparse.parallel.sparse import (
+    bsr_shard_pack,
+    bsr_spmm_sharded,
+    sell_spmm_sharded,
+)
+from tpusparse.testing import generators, reference
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh({"n": 8}, jax.devices()[:8])
+
+
+@pytest.fixture(scope="module")
+def workload():
+    a = generators.random_sparse_matrix(1024, 2048, density=0.3, seed=17)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=17)
+    return a, x, reference.sgemv_cpu(x, a)
+
+
+@pytest.mark.parametrize("partition", ["n", "m"])
+def test_sell_sharded(mesh8, workload, partition):
+    a, x, y_ref = workload
+    s = SellMatrix.from_dense(a)
+    assert_close(sell_spmm_sharded(s, x, mesh8, partition), y_ref,
+                 name=f"sell_sharded[{partition}]")
+
+
+def test_sell_sharded_2d(workload):
+    a, x, _ = workload
+    mesh2 = make_mesh({"b": 2, "n": 4}, jax.devices()[:8])
+    xb = generators.random_sparse_batch(4, 1024, density=0.5, seed=3)
+    s = SellMatrix.from_dense(a)
+    assert_close(sell_spmm_sharded(s, xb, mesh2, "2d"),
+                 reference.sgemm_cpu(xb, a), name="sell_sharded[2d]")
+
+
+def test_bsr_sharded(mesh8, workload):
+    a, x, y_ref = workload
+    packed = bsr_shard_pack(a, 8, block_m=128)
+    assert_close(bsr_spmm_sharded(packed, x, mesh8), y_ref,
+                 name="bsr_sharded")
+
+
+def test_bsr_sharded_spmm_uneven_blocks(mesh8):
+    # concentrate blocks on one device so per-device padding is exercised
+    a = generators.random_sparse_matrix(512, 2048, density=0.15, seed=9,
+                                        distribution="blocks", block=128)
+    a[:, :256] = 1.0  # device 0's groups fully dense
+    xb = generators.random_sparse_batch(2, 512, density=0.5, seed=9)
+    packed = bsr_shard_pack(a, 8, block_m=128)
+    assert_close(bsr_spmm_sharded(packed, xb, mesh8),
+                 reference.sgemm_cpu(xb, a), name="bsr_sharded_uneven")
+
+
+def test_sell_sharded_indivisible_raises(mesh8, workload):
+    a, x, _ = workload
+    s = SellMatrix.from_dense(a[:, :1920])  # 15 groups, not divisible by 8
+    with pytest.raises(ValueError):
+        sell_spmm_sharded(s, x, mesh8, "n")

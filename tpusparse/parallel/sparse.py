@@ -1,0 +1,174 @@
+"""Multi-chip sparse SpMV/SpMM: sharded formats under shard_map.
+
+The BASELINE.json scaling component, with no reference counterpart
+(single-GPU study, SURVEY.md §2.4). Partitions:
+
+- ``n``  — shard output column groups: SELL leaves shard on their ``nb``
+  axis, X is replicated (the fully-exchanged-halo case); zero steady-state
+  comm, Y lands sharded. The chip-level analog of the reference's
+  block-per-32-columns decomposition (wsp.cu:13).
+- ``m``  — shard contraction windows: SELL leaves shard on ``nt``, each chip
+  consumes its X shard and psums partial Y over ICI — the chip-level lift of
+  the reference's split-M-across-warps + smem reduction (asp.cu:13-40).
+- ``2d`` — batch x output mesh for SpMM: X shards over the batch axis, the
+  format over the output axis (the DP x TP analog).
+
+BSR shards by output groups with per-device block counts padded to the max
+(explicit zero blocks), since shard_map needs rectangular shards.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from tpusparse.formats.bsr import BsrMatrix, bsr_pack
+from tpusparse.formats.sell import SellMatrix
+from tpusparse.utils import cdiv
+
+_LANES = 128
+_SUB = 8
+
+
+# ----------------------------- SELL ---------------------------------------
+
+
+def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
+                      partition: str = "n") -> jax.Array:
+    """y = x @ A with SELL-format A sharded over ``mesh``.
+
+    x: (m,) or (b, m). Returns the full (replicated-view) result; XLA keeps
+    the physical layout sharded per ``partition``.
+    """
+    from tpusparse.kernels.sell_spmv import sell_spmm_padded
+
+    squeeze = np.ndim(x) == 1
+    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    mp, np_ = s.padded
+    if x2d.shape[1] != mp:
+        x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+
+    nb, nt = s.vals.shape[0], s.vals.shape[1]
+    w = s.w
+
+    if partition == "n":
+        d = mesh.shape["n"]
+        if nb % d:
+            raise ValueError(f"nb={nb} column groups not divisible by {d}")
+
+        def f(idx_loc, vals_loc, x_full):
+            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w)
+            return out[::_SUB]                    # (B, nb_loc*128)
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P()),
+                       out_specs=P(None, "n"))(s.idx, s.vals, x2d)
+    elif partition == "m":
+        d = mesh.shape["n"]                       # axis carries M-shards here
+        if nt % d:
+            raise ValueError(f"nt={nt} windows not divisible by {d}")
+
+        def f(idx_loc, vals_loc, x_loc):
+            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
+            return lax.psum(out[::_SUB], "n")
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P(None, "n"), P(None, "n"), P(None, "n")),
+                       out_specs=P())(s.idx, s.vals, x2d)
+    elif partition == "2d":
+        db, dn = mesh.shape["b"], mesh.shape["n"]
+        if nb % dn or x2d.shape[0] % db:
+            raise ValueError(f"nb={nb} % {dn} or batch={x2d.shape[0]} % {db}")
+
+        def f(idx_loc, vals_loc, x_loc):
+            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
+            return out[::_SUB]
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P("b")),
+                       out_specs=P("b", "n"))(s.idx, s.vals, x2d)
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
+
+    y = y[:, :s.shape[1]]
+    return y[0] if squeeze else y
+
+
+# ----------------------------- BSR -----------------------------------------
+
+
+def bsr_shard_pack(a: np.ndarray, n_shards: int,
+                   block_m: int = 128) -> dict[str, Any]:
+    """Pack dense A into per-device BSR shards over output groups.
+
+    Each device owns nb/D column groups; per-device block lists are padded
+    with explicit zero blocks to the max count so shards stay rectangular.
+    """
+    full = bsr_pack(a, block_m=block_m)
+    mp, np_ = full["padded"]
+    nb = np_ // _LANES
+    if nb % n_shards:
+        raise ValueError(f"nb={nb} not divisible by {n_shards} shards")
+    gpd = nb // n_shards                          # groups per device
+
+    bi, bj, blocks = full["bi"], full["bj"], full["blocks"]
+    dev = bj // gpd
+    counts = np.bincount(dev, minlength=n_shards)
+    nmax = int(counts.max())
+    tbm = full["block_m"]
+    bi_s = np.zeros((n_shards, nmax), np.int32)
+    bj_s = np.zeros((n_shards, nmax), np.int32)
+    blk_s = np.zeros((n_shards, nmax, tbm, _LANES), blocks.dtype)
+    for sh in range(n_shards):
+        sel = dev == sh
+        k = int(sel.sum())
+        bi_s[sh, :k] = bi[sel]
+        bj_s[sh, :k] = bj[sel] - sh * gpd         # local group index
+        # pad slots: zero blocks accumulating into the last local group
+        bj_s[sh, k:] = gpd - 1
+        blk_s[sh, :k] = blocks[sel]
+    return dict(bi=bi_s, bj=bj_s, blocks=blk_s, shape=full["shape"],
+                padded=(mp, np_), block_m=tbm, nnz=full["nnz"],
+                n_shards=n_shards)
+
+
+def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
+    """Output-sharded BSR SpMV/SpMM from ``bsr_shard_pack`` output."""
+    from tpusparse.kernels.bsr_spmv import bsr_spmm_padded
+
+    squeeze = np.ndim(x) == 1
+    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    mp, np_ = packed["padded"]
+    if x2d.shape[1] != mp:
+        x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+    d = packed["n_shards"]
+    if mesh.shape["n"] != d:
+        raise ValueError(f"packed for {d} shards, mesh has {mesh.shape['n']}")
+    n_local = np_ // d
+    block_m = packed["block_m"]
+    b = x2d.shape[0]
+
+    def f(bi_loc, bj_loc, blk_loc, x_full):
+        y = bsr_spmm_padded(bi_loc[0], bj_loc[0], blk_loc[0], x_full,
+                            block_m=block_m, n_padded=n_local)
+        return y[:, :max(b, 1)].T                 # (B8->B?, n_local) -> trim below
+
+    y = _shard_map(f, mesh=mesh, check_vma=False,
+                   in_specs=(P("n"), P("n"), P("n"), P()),
+                   out_specs=P(None, "n"))(
+        jnp.asarray(packed["bi"]), jnp.asarray(packed["bj"]),
+        jnp.asarray(packed["blocks"]), x2d)
+    y = y[:b, :packed["shape"][1]]
+    return y[0] if squeeze else y
