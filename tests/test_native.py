@@ -1,0 +1,58 @@
+"""Native C++ converters: availability + bit-identity with the numpy packers."""
+
+import numpy as np
+import pytest
+
+from tpusparse import native
+from tpusparse.formats.bell import _mask_to_words
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.sell import sell_pack
+from tpusparse.testing import generators
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="g++/native build unavailable")
+
+
+@pytest.fixture(scope="module")
+def dense():
+    return generators.random_sparse_matrix(512, 384, density=0.35, seed=41)
+
+
+def test_sell_pack_native_matches_numpy(dense):
+    ref = sell_pack(dense, use_native=False)
+    nat = sell_pack(dense, use_native=True)
+    assert nat["w"] == ref["w"]
+    np.testing.assert_array_equal(nat["vals"], ref["vals"])
+    np.testing.assert_array_equal(nat["idx"], ref["idx"])
+
+
+def test_csr_native_matches_numpy(dense):
+    ref = CsrMatrix.from_dense(dense, use_native=False)
+    nat = CsrMatrix.from_dense(dense, use_native=True)
+    np.testing.assert_array_equal(nat.row_ptr, ref.row_ptr)
+    np.testing.assert_array_equal(nat.col_idx, ref.col_idx)
+    np.testing.assert_array_equal(nat.values, ref.values)
+
+
+def test_bell_bitmap_native_matches_numpy(dense):
+    block_m = 256
+    mp = 512
+    t = dense.reshape(mp // block_m, block_m, 3, 128).transpose(2, 0, 3, 1)
+    ref = _mask_to_words(t != 0, block_m)
+    nat = native.bell_bitmap(dense, block_m)
+    np.testing.assert_array_equal(nat, ref)
+
+
+def test_native_speedup_smoke():
+    # not a strict perf assertion — just that the native path runs at scale
+    a = generators.random_sparse_matrix(2048, 2048, density=0.5, seed=1)
+    import time
+
+    t0 = time.perf_counter()
+    nat = sell_pack(a, use_native=True)
+    t_nat = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ref = sell_pack(a, use_native=False)
+    t_np = time.perf_counter() - t0
+    np.testing.assert_array_equal(nat["vals"], ref["vals"])
+    print(f"native {t_nat*1e3:.0f}ms vs numpy {t_np*1e3:.0f}ms")

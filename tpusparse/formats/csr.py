@@ -42,9 +42,19 @@ class CsrMatrix:
         return np.diff(self.row_ptr)
 
     @classmethod
-    def from_dense(cls, a: np.ndarray) -> "CsrMatrix":
+    def from_dense(cls, a: np.ndarray,
+                   use_native: bool | None = None) -> "CsrMatrix":
         a = np.asarray(a)
         m, n = a.shape
+        if use_native is not False and a.dtype == np.float32:
+            from tpusparse import native
+
+            if native.available():
+                row_ptr, col_idx, values = native.csr_from_dense(a)
+                return cls(shape=(m, n), row_ptr=row_ptr, col_idx=col_idx,
+                           values=values)
+            if use_native:
+                raise RuntimeError("native converters requested but unavailable")
         at = a.T                                  # (n, m): rows = output cols
         mask = at != 0
         row_nnz = mask.sum(axis=1)

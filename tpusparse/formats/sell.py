@@ -21,13 +21,29 @@ _LANES = 128
 _SUB = 8
 
 
-def sell_pack(a: np.ndarray, w: int | None = None) -> dict[str, Any]:
+def sell_pack(a: np.ndarray, w: int | None = None,
+              use_native: bool | None = None) -> dict[str, Any]:
     a = np.asarray(a)
     m, n = a.shape
     mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
     if (mp, np_) != (m, n):
         a = np.pad(a, ((0, mp - m), (0, np_ - n)))
     nt, nb = mp // _LANES, np_ // _LANES
+
+    if use_native is not False and a.dtype == np.float32:
+        from tpusparse import native
+
+        if native.available():
+            max_nnz = native.sell_max_window_nnz(a)
+            if w is None:
+                w = max(round_up(max_nnz, _SUB), _SUB)
+            elif max_nnz > w:
+                raise ValueError(f"w={w} < max window-column nnz {max_nnz}")
+            vals, idx = native.sell_fill(a, w)
+            return dict(idx=idx, vals=vals, shape=(m, n), padded=(mp, np_),
+                        w=w, nnz=int((a != 0).sum()))
+        if use_native:
+            raise RuntimeError("native converters requested but unavailable")
 
     # t4[j, t, r, c] = A[t*128 + c, j*128 + r]: rows are output columns,
     # lanes c are in-window contraction offsets.

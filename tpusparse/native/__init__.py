@@ -1,0 +1,128 @@
+"""ctypes loader + lazy build for the native converter library.
+
+pybind11 is not available in this image; the bindings are a plain C ABI
+consumed via ctypes (see converters.cpp). The library builds on first use
+with g++ (-O3 -fopenmp) and is cached next to the source keyed by a source
+hash; any failure degrades silently to the numpy packers (formats/*.py),
+which produce bit-identical output.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "converters.cpp")
+_LOCK = threading.Lock()
+_LIB: ctypes.CDLL | bool | None = None  # None=untried, False=unavailable
+
+
+def _build() -> str | None:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so = os.path.join(_DIR, f"_converters_{tag}.so")
+    if os.path.exists(so):
+        return so
+    cmd = ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-fopenmp",
+           "-o", so + ".tmp", _SRC]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so + ".tmp", so)
+        return so
+    except (subprocess.SubprocessError, OSError):
+        return None
+
+
+def _lib() -> ctypes.CDLL | None:
+    global _LIB
+    with _LOCK:
+        if _LIB is None:
+            so = _build()
+            if so is None:
+                _LIB = False
+            else:
+                lib = ctypes.CDLL(so)
+                _declare(lib)
+                _LIB = lib
+    return _LIB or None
+
+
+def _declare(lib: ctypes.CDLL) -> None:
+    i64, i32 = ctypes.c_int64, ctypes.c_int32
+    fp = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    i8p = np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
+    lib.sell_max_window_nnz.argtypes = [fp, i64, i64]
+    lib.sell_max_window_nnz.restype = i32
+    lib.sell_fill.argtypes = [fp, i64, i64, i64, fp, i8p]
+    lib.sell_fill.restype = i32
+    lib.csr_count.argtypes = [fp, i64, i64, i32p]
+    lib.csr_count.restype = None
+    lib.csr_fill.argtypes = [fp, i64, i64, i32p, i32p, fp]
+    lib.csr_fill.restype = None
+    lib.bell_bitmap.argtypes = [fp, i64, i64, i64, u32p]
+    lib.bell_bitmap.restype = None
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def sell_max_window_nnz(a: np.ndarray) -> int | None:
+    lib = _lib()
+    if lib is None or a.dtype != np.float32:
+        return None
+    a = np.ascontiguousarray(a)
+    return int(lib.sell_max_window_nnz(a, a.shape[0], a.shape[1]))
+
+
+def sell_fill(a: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """(vals, idx) with shapes (nb, nt, w, 128), or None if unavailable."""
+    lib = _lib()
+    if lib is None or a.dtype != np.float32:
+        return None
+    a = np.ascontiguousarray(a)
+    mp, np_ = a.shape
+    nb, nt = np_ // 128, mp // 128
+    vals = np.zeros((nb, nt, w, 128), np.float32)
+    idx = np.zeros((nb, nt, w, 128), np.int8)
+    if lib.sell_fill(a, mp, np_, w, vals, idx) != 0:
+        raise ValueError(f"w={w} overflowed during native sell_fill")
+    return vals, idx
+
+
+def csr_from_dense(a: np.ndarray):
+    """(row_ptr, col_idx, values) for CSR of A.T, or None if unavailable."""
+    lib = _lib()
+    if lib is None or a.dtype != np.float32:
+        return None
+    a = np.ascontiguousarray(a)
+    m, n = a.shape
+    cnt = np.zeros(n, np.int32)
+    lib.csr_count(a, m, n, cnt)
+    row_ptr = np.zeros(n + 1, np.int32)
+    np.cumsum(cnt, out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+    col_idx = np.zeros(nnz, np.int32)
+    values = np.zeros(nnz, np.float32)
+    lib.csr_fill(a, m, n, row_ptr, col_idx, values)
+    return row_ptr, col_idx, values
+
+
+def bell_bitmap(a: np.ndarray, block_m: int) -> np.ndarray | None:
+    lib = _lib()
+    if lib is None or a.dtype != np.float32:
+        return None
+    a = np.ascontiguousarray(a)
+    mp, np_ = a.shape
+    mb, nb = mp // block_m, np_ // 128
+    bitmap = np.zeros((nb, mb, 128, block_m // 32), np.uint32)
+    lib.bell_bitmap(a, mp, np_, block_m, bitmap)
+    return bitmap

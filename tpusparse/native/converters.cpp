@@ -1,0 +1,141 @@
+// Native host-side format converters (ctypes ABI).
+//
+// TPU-native counterpart of the reference's C++ converter layer (L3 in
+// SURVEY.md §1: matrix_csr.cpp, wsp.cpp, awsp.cpp ...). The algorithms are
+// the TPU layouts defined in tpusparse/formats/*.py — NOT the reference's
+// bit orders — implemented as streaming single-pass packers with OpenMP
+// over independent column tiles. Python falls back to vectorized numpy when
+// this library is unavailable; results are bit-identical (tested).
+//
+// Build: see tpusparse/native/__init__.py (g++ -O3 -shared -fopenmp).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+constexpr int64_t kLanes = 128;
+}
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// SELL (formats/sell.py): vals[jb, t, w, r] / idx[jb, t, w, r]
+//   jb: column tile (n/128), t: m-window (m/128), w: slot, r: lane (n%128)
+// a: dense (mp, np) row-major, mp % 128 == 0, np % 128 == 0.
+// ---------------------------------------------------------------------------
+
+// Pass 1: the global max window-column nonzero count (decides W).
+int32_t sell_max_window_nnz(const float* a, int64_t mp, int64_t np) {
+  const int64_t nt = mp / kLanes;
+  const int64_t nb = np / kLanes;
+  int32_t global_max = 0;
+#pragma omp parallel for reduction(max : global_max) collapse(2)
+  for (int64_t jb = 0; jb < nb; ++jb) {
+    for (int64_t t = 0; t < nt; ++t) {
+      int32_t cnt[kLanes] = {0};
+      for (int64_t c = 0; c < kLanes; ++c) {
+        const float* row = a + (t * kLanes + c) * np + jb * kLanes;
+        for (int64_t r = 0; r < kLanes; ++r) cnt[r] += (row[r] != 0.0f);
+      }
+      for (int64_t r = 0; r < kLanes; ++r)
+        if (cnt[r] > global_max) global_max = cnt[r];
+    }
+  }
+  return global_max;
+}
+
+// Pass 2: fill pre-zeroed vals (f32) and idx (int8) arrays of width w.
+// Returns 0 on success, -1 if any window-column overflows w.
+int32_t sell_fill(const float* a, int64_t mp, int64_t np, int64_t w,
+                  float* vals, int8_t* idx) {
+  const int64_t nt = mp / kLanes;
+  const int64_t nb = np / kLanes;
+  int32_t overflow = 0;
+#pragma omp parallel for reduction(| : overflow) collapse(2)
+  for (int64_t jb = 0; jb < nb; ++jb) {
+    for (int64_t t = 0; t < nt; ++t) {
+      int32_t cnt[kLanes] = {0};
+      const int64_t base = ((jb * nt + t) * w) * kLanes;  // [jb,t,0,0]
+      for (int64_t c = 0; c < kLanes; ++c) {
+        const float* row = a + (t * kLanes + c) * np + jb * kLanes;
+        for (int64_t r = 0; r < kLanes; ++r) {
+          const float v = row[r];
+          if (v != 0.0f) {
+            const int32_t slot = cnt[r]++;
+            if (slot >= w) {
+              overflow = 1;
+              continue;
+            }
+            vals[base + slot * kLanes + r] = v;
+            idx[base + slot * kLanes + r] = static_cast<int8_t>(c);
+          }
+        }
+      }
+    }
+  }
+  return overflow ? -1 : 0;
+}
+
+// ---------------------------------------------------------------------------
+// CSR of A-transpose (formats/csr.py): row r of the CSR = output column r.
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-output-column nonzero counts -> cnt[n].
+void csr_count(const float* a, int64_t m, int64_t n, int32_t* cnt) {
+  std::memset(cnt, 0, n * sizeof(int32_t));
+#pragma omp parallel
+  {
+#pragma omp for
+    for (int64_t j = 0; j < n; ++j) {
+      int32_t c = 0;
+      for (int64_t i = 0; i < m; ++i) c += (a[i * n + j] != 0.0f);
+      cnt[j] = c;
+    }
+  }
+}
+
+// Pass 2: fill col_idx / values given row_ptr (exclusive prefix of cnt,
+// length n+1, computed by the caller).
+void csr_fill(const float* a, int64_t m, int64_t n, const int32_t* row_ptr,
+              int32_t* col_idx, float* values) {
+#pragma omp parallel for
+  for (int64_t j = 0; j < n; ++j) {
+    int32_t p = row_ptr[j];
+    for (int64_t i = 0; i < m; ++i) {
+      const float v = a[i * n + j];
+      if (v != 0.0f) {
+        col_idx[p] = static_cast<int32_t>(i);
+        values[p] = v;
+        ++p;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// BELL bitmap (formats/bell.py _mask_to_words): word l % nwords, bit
+// l // nwords, for the pltpu.repeat expansion order.
+//   bitmap[jb, i, r, wd] over blocks of (block_m x 128).
+// ---------------------------------------------------------------------------
+
+void bell_bitmap(const float* a, int64_t mp, int64_t np, int64_t block_m,
+                 uint32_t* bitmap) {
+  const int64_t mb = mp / block_m;
+  const int64_t nb = np / kLanes;
+  const int64_t nwords = block_m / 32;
+#pragma omp parallel for collapse(2)
+  for (int64_t jb = 0; jb < nb; ++jb) {
+    for (int64_t i = 0; i < mb; ++i) {
+      uint32_t* out = bitmap + ((jb * mb + i) * kLanes) * nwords;
+      for (int64_t l = 0; l < block_m; ++l) {
+        const float* row = a + (i * block_m + l) * np + jb * kLanes;
+        const int64_t wd = l % nwords;
+        const uint32_t bit = 1u << (l / nwords);
+        for (int64_t r = 0; r < kLanes; ++r)
+          if (row[r] != 0.0f) out[r * nwords + wd] |= bit;
+      }
+    }
+  }
+}
+
+}  // extern "C"
