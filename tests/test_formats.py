@@ -111,3 +111,19 @@ def test_bsr_from_blocks():
     np.testing.assert_array_equal(d[128:256, 128:256], blocks[1])
     np.testing.assert_array_equal(d[0:128, 384:512], blocks[2])
     assert (d[:, 0:128] == 0).all()
+
+
+@pytest.mark.parametrize("kind", ["sell", "bell", "bsr"])
+def test_format_save_load(tmp_path, dense, kind):
+    from tpusparse.formats import io
+    from tpusparse.formats.bell import BellMatrix
+    from tpusparse.formats.bsr import BsrMatrix
+    from tpusparse.formats.sell import SellMatrix
+
+    fmt = {"sell": lambda: SellMatrix.from_dense(dense),
+           "bell": lambda: BellMatrix.from_dense(dense, block_m=128),
+           "bsr": lambda: BsrMatrix.from_dense(dense, block_m=128)}[kind]()
+    p = str(tmp_path / f"{kind}.npz")
+    io.save(p, fmt)
+    fmt2 = io.load(p)
+    np.testing.assert_array_equal(fmt2.to_dense(), dense)

@@ -150,3 +150,20 @@ def test_binned_sell_spmm():
     xb = generators.random_sparse_batch(3, 512, density=0.5, seed=1)
     b = BinnedSellMatrix.from_dense(a)
     assert_close(b.spmm(xb), reference.sgemm_cpu(xb, a), name="binned_spmm")
+
+
+def test_asp_window_skip():
+    from tpusparse.kernels.asp_spmv import AspMatrix
+
+    a = generators.random_sparse_matrix(512, 640, density=0.5, seed=3)
+    x = generators.random_sparse_vector(512, density=0.5, seed=3)
+    x2 = x.copy()
+    x2[0:128] = 0
+    x2[256:384] = 0
+    m = AspMatrix.from_dense(a)
+    assert len(m.plan(x2)) == 2  # skips the two zeroed windows
+    assert_close(m.spmv(x), reference.sgemv_cpu(x, a), name="asp_dense_x")
+    assert_close(m.spmv(x2), reference.sgemv_cpu(x2, a), name="asp_struct_x")
+    assert np.abs(np.asarray(m.spmv(np.zeros(512, np.float32)))).max() == 0
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=4)
+    assert_close(m.spmm(xb), reference.sgemm_cpu(xb, a), name="asp_spmm")

@@ -12,12 +12,14 @@ with three safeguards:
 
 - iterations are data-chained through ``eps = sum(y) * 1e-37`` (numerically a
   no-op in fp32, but XLA cannot fold it, so the chain cannot be hoisted);
-- iterations cycle over ``copies`` replicas of the operands so the working
-  set exceeds VMEM (128 MB on v5e) and every iteration streams from HBM —
-  otherwise a 64 MB matrix goes VMEM-resident and we'd measure VMEM, not HBM;
-- the copy loop is *statically unrolled* (each replica is a distinct jit
-  argument), so Pallas kernels see whole buffers — a dynamic-slice feeding a
-  ``pallas_call`` would materialize an extra HBM copy and pollute the count.
+- every iteration consumes its own operand replica, so nothing can be kept
+  VMEM-resident between iterations (128 MB v5e VMEM fits a whole 64 MB
+  operand — with any reuse XLA has been observed holding a replica resident
+  and the slope comes out above physical HBM bandwidth);
+- the iteration loop is *statically unrolled* (each replica is a distinct
+  jit argument), so Pallas kernels see whole buffers — a dynamic-slice
+  feeding a ``pallas_call`` would materialize an extra HBM copy and pollute
+  the count.
 """
 
 from __future__ import annotations
@@ -71,15 +73,21 @@ def _replicate(fmt: Any, copies: int) -> list[Any]:
     return out
 
 
-def _chained(fn: Callable[[Any, Any], Any], k: int, copies: int):
-    """jit of k sequential fn calls cycling over operand replicas."""
+def _chained(fn: Callable[[Any, Any], Any], k: int):
+    """jit of k sequential fn calls, each on its own operand replica.
+
+    One fresh replica per iteration: with *any* reuse XLA may keep a reused
+    replica VMEM-resident (128 MB on v5e fits a whole 64 MB operand) and the
+    measured slope comes out above the physical HBM bandwidth. Distinct
+    replicas make every iteration stream from HBM unconditionally.
+    """
 
     @jax.jit
     def run(replicas, x):
         y = fn(replicas[0], x)
         for i in range(1, k):
             eps = (jnp.sum(y) * 1e-37).astype(x.dtype)
-            y = fn(replicas[i % copies], x + eps)
+            y = fn(replicas[i], x + eps)
         return jnp.sum(y)
 
     return run
@@ -92,33 +100,36 @@ def device_time(
     *,
     name: str = "kernel",
     k1: int = 16,
-    k2: int = 48,
-    copies: int = 4,
-    reps: int = 3,
+    k2: int = 64,
+    reps: int = 7,
     bytes_moved: int | None = None,
     flops: int | None = None,
     nnz: int | None = None,
 ) -> BenchResult:
     """Per-call device seconds for ``fn(fmt, x)`` via the slope method."""
-    if bytes_moved is not None:
-        # working set must exceed VMEM (128 MB on v5e) by a safe margin or
-        # iterations run VMEM-resident and the slope collapses to ~0
-        copies = max(copies, -(-320_000_000 // max(bytes_moved, 1)))
-        copies = min(copies, 64)
-    replicas = _replicate(fmt, copies)
+    # one replica per iteration (see _chained); shrink k if HBM would blow up
+    budget = 6_000_000_000
+    if bytes_moved is not None and bytes_moved * k2 > budget:
+        k2 = max(budget // bytes_moved, 6)
+        k1 = max(k2 // 3, 2)
+    replicas = _replicate(fmt, k2)
     x = jax.device_put(jnp.asarray(x))
-    run1 = _chained(fn, k1, copies)
-    run2 = _chained(fn, k2, copies)
+    run1 = _chained(fn, k1)
+    run2 = _chained(fn, k2)
     float(run1(replicas, x))  # compile + sync
     float(run2(replicas, x))
-    slopes = []
+    # The pooled chip is intermittently contended and the tunnel RTT jitters
+    # by ~ms; contention only ever ADDS time, so the clean estimate of each
+    # total is the MIN over reps, and the slope comes from the two minima.
+    t1s, t2s = [], []
     for _ in range(reps):
         t0 = time.perf_counter()
         float(run1(replicas, x))
         t1 = time.perf_counter()
         float(run2(replicas, x))
         t2 = time.perf_counter()
-        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-    sec = max(float(np.median(slopes)), 1e-9)
+        t1s.append(t1 - t0)
+        t2s.append(t2 - t1)
+    sec = max((min(t2s) - min(t1s)) / (k2 - k1), 1e-9)
     return BenchResult(name=name, seconds=sec, bytes_moved=bytes_moved,
                        flops=flops, nnz=nnz)

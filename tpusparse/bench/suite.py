@@ -21,8 +21,14 @@ def _canonical_workload(cfg: SpmvConfig):
     return a, x
 
 
-def registry() -> list[dict[str, Any]]:
-    """All benchable kernels: name, prepare(dense)->fmt, run(fmt,x)->y."""
+def registry(full: bool = True) -> list[dict[str, Any]]:
+    """Benchable kernels: name, prepare(dense)->fmt, run(fmt,x)->y.
+
+    ``full=False`` returns the lean headline set (dense baselines + the SELL
+    flagship) used by bench.py; the CLI ``bench`` command runs everything.
+    The reference hard-coded its registry (tester.cpp:54-63); this one is
+    selectable (see cli.py --kernels).
+    """
     from tpusparse.kernels.dense import dense_pallas, dense_xla
 
     entries = [
@@ -31,57 +37,48 @@ def registry() -> list[dict[str, Any]]:
         dict(name="dense_pallas", prepare=lambda a: a,
              run=lambda f, x: dense_pallas(f, x)),
     ]
-    try:  # sparse kernels appear as they land
-        from tpusparse.formats.sell import SellMatrix
+    from tpusparse.formats.sell import SellMatrix
 
-        entries.append(dict(
-            name="sell_pallas",
-            prepare=lambda a: SellMatrix.from_dense(a),
-            run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
-        ))
-    except ImportError:
-        pass
-    try:
-        from tpusparse.formats.bell import BellMatrix
+    entries.append(dict(
+        name="sell_pallas",
+        prepare=lambda a: SellMatrix.from_dense(a),
+        run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
+    ))
+    if not full:
+        return entries
 
-        entries.append(dict(
-            name="bell_pallas",
-            prepare=lambda a: BellMatrix.from_dense(a),
-            run=lambda f, x: f.spmv(x),
-        ))
-    except ImportError:
-        pass
-    try:
-        from tpusparse.formats.binned import BinnedSellMatrix
+    from tpusparse.formats.bell import BellMatrix
+    from tpusparse.formats.binned import BinnedSellMatrix
+    from tpusparse.formats.bsr import BsrMatrix
+    from tpusparse.formats.ell import EllMatrix
 
-        entries.append(dict(
-            name="sell_binned_pallas",
-            prepare=lambda a: BinnedSellMatrix.from_dense(a),
-            run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
-        ))
-    except ImportError:
-        pass
-    try:
-        from tpusparse.formats.bsr import BsrMatrix
-
-        entries.append(dict(
-            name="bsr_pallas",
-            prepare=lambda a: BsrMatrix.from_dense(a),
-            run=lambda f, x: f.spmv(x),
-        ))
-    except ImportError:
-        pass
+    entries += [
+        dict(name="ell_xla",
+             prepare=lambda a: EllMatrix.from_dense(a),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+        dict(name="bell_pallas",
+             prepare=lambda a: BellMatrix.from_dense(a),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+        dict(name="sell_binned_pallas",
+             prepare=lambda a: BinnedSellMatrix.from_dense(a),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+        dict(name="bsr_pallas",
+             prepare=lambda a: BsrMatrix.from_dense(a, block_m=512),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+    ]
     return entries
 
 
-def sweep(cfg: SpmvConfig | None = None, verbose: bool = True) -> list[BenchResult]:
-    """Bench every registered kernel on the canonical workload."""
+def sweep(cfg: SpmvConfig | None = None, verbose: bool = True,
+          full: bool = True,
+          entries: list[dict[str, Any]] | None = None) -> list[BenchResult]:
+    """Bench registered kernels on the configured workload."""
     cfg = cfg or SpmvConfig()
     a, x = _canonical_workload(cfg)
     nnz = int((a != 0).sum())
     flops = 2 * nnz
     results = []
-    for e in registry():
+    for e in entries if entries is not None else registry(full=full):
         fmt = e["prepare"](a)
         nbytes = format_bytes(fmt)
         r = device_time(e["run"], fmt, x, name=e["name"],
@@ -96,7 +93,7 @@ def sweep(cfg: SpmvConfig | None = None, verbose: bool = True) -> list[BenchResu
 def headline() -> dict[str, Any]:
     """One JSON-able dict for the driver: best kernel vs dense baseline."""
     cfg = SpmvConfig()
-    results = sweep(cfg, verbose=False)
+    results = sweep(cfg, verbose=False, full=False)
     dense = next(r for r in results if r.name == "dense_xla")
     best = min(results, key=lambda r: r.seconds)
     return {

@@ -63,9 +63,10 @@ def cmd_check(args) -> int:
 
 
 def cmd_bench(args) -> int:
-    from tpusparse.bench.suite import sweep
+    from tpusparse.bench.suite import registry, sweep
 
-    sweep(_config_from(args), verbose=True)
+    sweep(_config_from(args), verbose=True,
+          entries=_select(registry(), args.kernels))
     return 0
 
 

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: activation-sparse SpMV/SpMM over dense A ("ASP").
+
+The reference's ASP family keeps A fully dense (reordered into blocks,
+asp.cpp:5-13) and skips multiply-accumulates whenever the broadcast x value
+is zero (``cur_x == 0`` skip, asp.cu:20-27) — a per-lane trick that is free
+on SIMT hardware and worthless on a SIMD VPU, where all 128 lanes step
+together whether or not one of them would have skipped.
+
+The TPU-native translation exploits X-sparsity at the granularity the
+hardware can actually skip: whole 128-element m-windows. The host computes
+the list of windows where X has any nonzero (the "plan" — O(M) on a vector
+the host already owns); the kernel's grid iterates only over active windows,
+with the scalar-prefetched window list driving the A and X index maps. HBM
+traffic and FLOPs scale with the number of active windows: zero savings on
+i.i.d. random X (every window has survivors — measured and documented), and
+proportional savings on structured activations (ReLU blocks, MoE routing,
+padded batches), which is where the reference's trick actually mattered too.
+
+The dense-A window list trick: A and X are padded with one extra all-zero
+window; plan padding points there, so padded grid steps contribute nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpusparse.utils import cdiv, default_interpret, round_up
+
+_LANES = 128
+
+
+def _asp_kernel(win_ref, x_ref, a_ref, o_ref):
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    o_ref[:] += jnp.dot(
+        x_ref[:], a_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _asp_call(win_ids, x_pad, a_pad, *, block_n: int, interpret: bool):
+    b = x_pad.shape[0]
+    n_pad = a_pad.shape[1]
+    na = win_ids.shape[0]
+    grid = (n_pad // block_n, na)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((b, _LANES), lambda j, t, win: (0, win[t])),
+            pl.BlockSpec((_LANES, block_n), lambda j, t, win: (win[t], j)),
+        ],
+        out_specs=pl.BlockSpec((b, block_n), lambda j, t, win: (0, j)),
+    )
+    return pl.pallas_call(
+        _asp_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad), a_pad.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * na * _LANES * n_pad * b,
+            bytes_accessed=na * _LANES * n_pad * a_pad.dtype.itemsize,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(win_ids, x_pad, a_pad)
+
+
+@jax.tree_util.register_pytree_node_class
+class AspMatrix:
+    """Dense A prepared for window-skip activation-sparse products."""
+
+    def __init__(self, a_pad, shape, block_n: int):
+        self.a_pad = a_pad            # (Mp + 128, Np): trailing zero window
+        self.shape = shape
+        self.block_n = block_n
+
+    def tree_flatten(self):
+        return (self.a_pad,), (self.shape, self.block_n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], *aux)
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, block_n: int = 512) -> "AspMatrix":
+        a = np.asarray(a)
+        m, n = a.shape
+        mp, np_ = round_up(m, _LANES), round_up(n, block_n)
+        a_pad = np.zeros((mp + _LANES, np_), a.dtype)   # extra zero window
+        a_pad[:m, :n] = a
+        return cls(a_pad, (m, n), block_n)
+
+    def device_bytes(self) -> int:
+        a = self.a_pad
+        return int(np.prod(a.shape)) * a.dtype.itemsize
+
+    def to_dense(self) -> np.ndarray:
+        return np.asarray(self.a_pad)[:self.shape[0], :self.shape[1]]
+
+    def plan(self, x: np.ndarray) -> np.ndarray:
+        """Active-window ids for this activation, padded with the zero window."""
+        x = np.asarray(x)
+        m = self.shape[0]
+        mp = self.a_pad.shape[0] - _LANES
+        nt = mp // _LANES
+        xw = np.zeros(mp, dtype=bool)
+        flat = x.reshape(-1, x.shape[-1]) if x.ndim > 1 else x[None, :]
+        xw[:m] = (flat != 0).any(axis=0)
+        active = np.nonzero(xw.reshape(nt, _LANES).any(axis=1))[0]
+        if active.size == 0:
+            active = np.array([nt])                     # only the zero window
+        pad = round_up(active.size, 1) - active.size
+        return np.concatenate([active, np.full(pad, nt)]).astype(np.int32)
+
+    def _run(self, x2d: np.ndarray) -> jax.Array:
+        b = x2d.shape[0]
+        win = self.plan(x2d)
+        mp_tot, np_ = self.a_pad.shape
+        xp = np.zeros((round_up(max(b, 1), 8), mp_tot), x2d.dtype)
+        xp[:b, :x2d.shape[1]] = x2d
+        y = _asp_call(jnp.asarray(win), jnp.asarray(xp),
+                      jnp.asarray(self.a_pad), block_n=self.block_n,
+                      interpret=default_interpret())
+        return y[:b, :self.shape[1]]
+
+    def spmv(self, x) -> jax.Array:
+        return self._run(np.asarray(x)[None, :])[0]
+
+    def spmm(self, x) -> jax.Array:
+        return self._run(np.asarray(x))
