@@ -12,10 +12,13 @@ with three safeguards:
 
 - iterations are data-chained through ``eps = sum(y) * 1e-37`` (numerically a
   no-op in fp32, but XLA cannot fold it, so the chain cannot be hoisted);
-- every iteration consumes its own operand replica, so nothing can be kept
-  VMEM-resident between iterations (128 MB v5e VMEM fits a whole 64 MB
-  operand — with any reuse XLA has been observed holding a replica resident
-  and the slope comes out above physical HBM bandwidth);
+- iterations cycle over enough on-device operand replicas that >128 MB
+  (the whole v5e VMEM) of other traffic separates two uses of the same
+  replica, so none can be kept VMEM-resident (with tight reuse XLA has been
+  observed holding a replica resident and the slope comes out above the
+  physical HBM bandwidth); replicas are made by on-device ``jnp.copy`` from
+  a single upload — the axon tunnel moves ~MB/s, so per-replica uploads are
+  ruinous;
 - the iteration loop is *statically unrolled* (each replica is a distinct
   jit argument), so Pallas kernels see whole buffers — a dynamic-slice
   feeding a ``pallas_call`` would materialize an extra HBM copy and pollute
@@ -65,21 +68,27 @@ class BenchResult:
 
 
 def _replicate(fmt: Any, copies: int) -> list[Any]:
-    """``copies`` independent device-resident replicas of a format pytree."""
-    out = []
-    for _ in range(copies):
-        out.append(jax.tree_util.tree_map(
-            lambda leaf: jax.device_put(jnp.asarray(leaf)).copy(), fmt))
+    """``copies`` independent device-resident replicas of a format pytree.
+
+    The host->device transfer happens ONCE (the axon tunnel moves ~MB/s —
+    per-replica uploads were measured at ~19 s per 64 MB operand); the
+    remaining replicas are produced by on-device ``jnp.copy``, which gives
+    distinct HBM buffers without touching the tunnel.
+    """
+    base = jax.tree_util.tree_map(
+        lambda leaf: jax.device_put(jnp.asarray(leaf)), fmt)
+    out = [base]
+    for _ in range(copies - 1):
+        out.append(jax.tree_util.tree_map(lambda l: jnp.copy(l), base))
     return out
 
 
 def _chained(fn: Callable[[Any, Any], Any], k: int):
-    """jit of k sequential fn calls, each on its own operand replica.
+    """jit of k sequential fn calls cycling over the operand replicas.
 
-    One fresh replica per iteration: with *any* reuse XLA may keep a reused
-    replica VMEM-resident (128 MB on v5e fits a whole 64 MB operand) and the
-    measured slope comes out above the physical HBM bandwidth. Distinct
-    replicas make every iteration stream from HBM unconditionally.
+    The replica pool is sized (see ``device_time``) so that two uses of the
+    same replica are separated by more traffic than VMEM holds, making every
+    iteration stream from HBM unconditionally.
     """
 
     @jax.jit
@@ -87,7 +96,7 @@ def _chained(fn: Callable[[Any, Any], Any], k: int):
         y = fn(replicas[0], x)
         for i in range(1, k):
             eps = (jnp.sum(y) * 1e-37).astype(x.dtype)
-            y = fn(replicas[i], x + eps)
+            y = fn(replicas[i % len(replicas)], x + eps)
         return jnp.sum(y)
 
     return run
@@ -100,19 +109,21 @@ def device_time(
     *,
     name: str = "kernel",
     k1: int = 16,
-    k2: int = 64,
-    reps: int = 7,
+    k2: int = 272,
+    reps: int = 9,
     bytes_moved: int | None = None,
     flops: int | None = None,
     nnz: int | None = None,
 ) -> BenchResult:
     """Per-call device seconds for ``fn(fmt, x)`` via the slope method."""
-    # one replica per iteration (see _chained); shrink k if HBM would blow up
-    budget = 6_000_000_000
-    if bytes_moved is not None and bytes_moved * k2 > budget:
-        k2 = max(budget // bytes_moved, 6)
-        k1 = max(k2 // 3, 2)
-    replicas = _replicate(fmt, k2)
+    # Enough cycled replicas that well over 128 MB (v5e VMEM) of other
+    # traffic passes between two uses of the same replica, so none can stay
+    # VMEM-resident (measured: 4x64 MB copies still leak ~10% residency,
+    # 6 copies converge to 98% of spec BW); capped at k2 (beyond that every
+    # iteration has its own copy anyway).
+    copies = 6 if bytes_moved is None else max(
+        6, -(-320_000_000 // max(bytes_moved, 1)))
+    replicas = _replicate(fmt, min(k2, copies))
     x = jax.device_put(jnp.asarray(x))
     run1 = _chained(fn, k1)
     run2 = _chained(fn, k2)

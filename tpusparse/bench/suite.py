@@ -47,6 +47,7 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     if not full:
         return entries
 
+    from tpusparse.formats.awsp import AwspMatrix
     from tpusparse.formats.bell import BellMatrix
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
@@ -61,6 +62,9 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
         dict(name="sell_binned_pallas",
              prepare=lambda a: BinnedSellMatrix.from_dense(a),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+        dict(name="awsp_pallas",
+             prepare=lambda a: AwspMatrix.from_dense(a),
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
         dict(name="bsr_pallas",
              prepare=lambda a: BsrMatrix.from_dense(a, block_m=512),
