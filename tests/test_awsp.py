@@ -39,13 +39,25 @@ def test_structured_activation_skips_windows(workload):
     a = workload
     x = np.zeros(512, np.float32)
     x[:128] = generators.random_sparse_vector(128, density=0.5, seed=33)
-    f = AwspMatrix.from_dense(a)
+    f = AwspMatrix.from_dense(a, g=1)          # window-granular skipping
     plan = f.plan(x)
     nt = f.padded[0] // 128
     assert set(plan.tolist()) == {0, nt}
     # 1 active window + 1 shared zero window vs 4 total windows
     assert f.device_bytes(x) * 2 <= f.device_bytes()
     assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="awsp_structured")
+
+
+def test_group_skip_default_g(workload):
+    """At g=2 a dead 256-row group is skipped; live groups still compute."""
+    a = workload
+    x = generators.random_sparse_vector(512, density=0.5, seed=36)
+    x = x.copy()
+    x[256:] = 0                                # second 2-window group dead
+    f = AwspMatrix.from_dense(a, g=2)
+    plan = f.plan(x)
+    assert 0 in plan and 1 not in plan
+    assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="awsp_group")
 
 
 def test_all_zero_activation(workload):
@@ -57,10 +69,10 @@ def test_all_zero_activation(workload):
     np.testing.assert_array_equal(y, 0)
 
 
-def test_plan_padding_multiple_of_8(workload):
+def test_plan_padding_multiple_of_4(workload):
     f = AwspMatrix.from_dense(workload)
     x = generators.random_sparse_vector(512, density=0.5, seed=34)
-    assert f.plan(x).size % 8 == 0
+    assert f.plan(x).size % 4 == 0
 
 
 def test_unaligned_shape():

@@ -44,10 +44,16 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
         prepare=lambda a: SellMatrix.from_dense(a),
         run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
     ))
+    from tpusparse.formats.awsp import AwspMatrix
+
+    entries.append(dict(
+        name="awsp_pallas",
+        prepare=lambda a: AwspMatrix.from_dense(a),
+        run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
+    ))
     if not full:
         return entries
 
-    from tpusparse.formats.awsp import AwspMatrix
     from tpusparse.formats.bell import BellMatrix
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
@@ -62,9 +68,6 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
         dict(name="sell_binned_pallas",
              prepare=lambda a: BinnedSellMatrix.from_dense(a),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
-        dict(name="awsp_pallas",
-             prepare=lambda a: AwspMatrix.from_dense(a),
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
         dict(name="bsr_pallas",
              prepare=lambda a: BsrMatrix.from_dense(a, block_m=512),

@@ -89,15 +89,40 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_scaling(args) -> int:
+    """Weak/strong scaling efficiency over the available device mesh."""
+    from tpusparse.bench.scaling import sweep_scaling
+
+    counts = None if args.devices == "auto" else tuple(
+        int(s) for s in args.devices.split(","))
+    points = sweep_scaling(mode=args.mode, kernel=args.kernel,
+                           partition=args.partition, base_m=args.m,
+                           base_n=args.n, density=args.density,
+                           device_counts=counts, seed=args.seed)
+    worst = min(p.efficiency for p in points)
+    print(f"worst efficiency: {worst * 100:.0f}%")
+    return 0
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="tpusparse")
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name, fn in [("check", cmd_check), ("bench", cmd_bench),
-                     ("headline", cmd_headline), ("profile", cmd_profile)]:
+                     ("headline", cmd_headline), ("profile", cmd_profile),
+                     ("scaling", cmd_scaling)]:
         p = sub.add_parser(name)
         _add_workload_args(p)
         if name == "profile":
             p.add_argument("--trace-dir", default="/tmp/tpusparse-trace")
+        if name == "scaling":
+            p.add_argument("--mode", default="weak",
+                           choices=["weak", "strong"])
+            p.add_argument("--kernel", default="dense",
+                           choices=["dense", "sell"])
+            p.add_argument("--partition", default="n",
+                           choices=["n", "m", "ring"])
+            p.add_argument("--devices", default="auto",
+                           help="comma-separated device counts, or 'auto'")
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)
     if args.cpu:

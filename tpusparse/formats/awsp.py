@@ -1,13 +1,15 @@
-"""AWSP: SELL weight compression + activation window-skip plan.
+"""AWSP: SELL weight compression + activation window-group-skip plan.
 
 The TPU equivalent of the reference's combined weight+activation-sparse
 formats (`AWSPMatrix`, awsp.cpp:3-65; `AWSPRefMatrix`, awsp_ref.cpp:4-78):
 A is packed once with the SELL converter (bytes ∝ nnz(A)); each product call
-builds an O(M) host-side plan of the 128-row m-windows where X has any
-nonzero, and the kernel's grid only visits those (kernels/awsp_spmv.py).
+builds an O(M) host-side plan of the G·128-row m-window groups where X has
+any nonzero, and the kernel's grid only visits those (kernels/awsp_spmv.py,
+which also explains why the skip granularity is a group, not a window).
 
-Padding convention: one extra all-zero window is appended on the window axis
-(index ``nt``); plan padding and empty-X both point there.
+Padding convention: the window axis is padded to a multiple of G, then one
+extra all-zero GROUP is appended (group index ``ng``); plan padding and
+empty-X both point there.
 """
 
 from __future__ import annotations
@@ -28,73 +30,82 @@ _SUB = 8
 
 @jax.tree_util.register_pytree_node_class
 class AwspMatrix:
-    def __init__(self, idx: Any, vals: Any, shape, padded, w: int, nnz: int):
-        self.idx = idx              # (nb, nt + 1, W, 128) int8
-        self.vals = vals            # (nb, nt + 1, W, 128)
+    def __init__(self, idx: Any, vals: Any, shape, padded, w: int, g: int,
+                 nnz: int):
+        self.idx = idx              # (nb, (ng+1)*G, W, 128) int8
+        self.vals = vals            # (nb, (ng+1)*G, W, 128)
         self.shape = shape
-        self.padded = padded        # (mp, np) BEFORE the extra zero window
+        self.padded = padded        # (mp, np) BEFORE group padding
         self.w = w
+        self.g = g                  # windows per skippable group
         self.nnz = nnz
 
     def tree_flatten(self):
         return ((self.idx, self.vals),
-                (self.shape, self.padded, self.w, self.nnz))
+                (self.shape, self.padded, self.w, self.g, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
     @classmethod
-    def from_dense(cls, a: np.ndarray, w: int | None = None) -> "AwspMatrix":
+    def from_dense(cls, a: np.ndarray, w: int | None = None,
+                   g: int = 8) -> "AwspMatrix":
         p = sell_pack(a, w=w)
         idx, vals = p["idx"], p["vals"]
-        nb, nt, wd, _ = vals.shape
-        zpad = ((0, 0), (0, 1), (0, 0), (0, 0))
+        nt = vals.shape[1]
+        extra = round_up(nt, g) - nt + g        # align to G + 1 zero group
+        zpad = ((0, 0), (0, extra), (0, 0), (0, 0))
         return cls(np.pad(idx, zpad), np.pad(vals, zpad), p["shape"],
-                   p["padded"], p["w"], p["nnz"])
+                   p["padded"], p["w"], g, p["nnz"])
+
+    @property
+    def _ng(self) -> int:
+        """Number of real (non-padding) window groups."""
+        return self.vals.shape[1] // self.g - 1
 
     def device_bytes(self, x: np.ndarray | None = None) -> int:
-        """Bytes the kernel streams: all windows, or only X-active ones."""
+        """Bytes the kernel streams: all groups, or only X-active ones."""
         vals = self.vals
-        nb, nt1, wd, lanes = vals.shape
-        # consecutive identical plan entries (the zero-window padding) hit
+        nb, _, wd, lanes = vals.shape
+        # consecutive identical plan entries (the zero-group padding) hit
         # the same block and are not re-fetched by the grid pipeline
-        na = nt1 - 1 if x is None else len(np.unique(self.plan(np.asarray(x))))
-        return nb * na * wd * lanes * (vals.dtype.itemsize + 1)
+        na = self._ng if x is None else len(np.unique(self.plan(np.asarray(x))))
+        return nb * na * self.g * wd * lanes * (vals.dtype.itemsize + 1)
 
     def to_dense(self) -> np.ndarray:
         from tpusparse.formats.sell import SellMatrix
 
-        idx = np.asarray(self.idx)[:, :-1]
-        vals = np.asarray(self.vals)[:, :-1]
+        nt = self.padded[0] // _LANES
+        idx = np.asarray(self.idx)[:, :nt]
+        vals = np.asarray(self.vals)[:, :nt]
         return SellMatrix(idx, vals, self.shape, self.padded, self.w,
                           self.nnz).to_dense()
 
     def plan(self, x2d: np.ndarray) -> np.ndarray:
-        """Active-window ids for this activation, padded with the zero window.
+        """Active-group ids for this activation, padded with the zero group.
 
-        Padded to a multiple of 8 entries so jit sees few distinct grids.
+        Padded to a multiple of 4 entries so jit sees few distinct grids.
         """
         x2d = np.asarray(x2d)
         if x2d.ndim == 1:
             x2d = x2d[None, :]
         m = self.shape[0]
-        mp, _ = self.padded
-        nt = mp // _LANES
-        xw = np.zeros(mp, dtype=bool)
+        ng = self._ng
+        rows = ng * self.g * _LANES
+        xw = np.zeros(rows, dtype=bool)
         xw[:m] = (x2d[:, :m] != 0).any(axis=0)
-        active = np.nonzero(xw.reshape(nt, _LANES).any(axis=1))[0]
-        size = max(round_up(active.size, 8), 8)
-        out = np.full(size, nt, dtype=np.int32)
+        active = np.nonzero(xw.reshape(ng, self.g * _LANES).any(axis=1))[0]
+        size = max(round_up(active.size, 4), 4)
+        out = np.full(size, ng, dtype=np.int32)
         out[:active.size] = active
         return out
 
     def _full_plan(self) -> np.ndarray:
-        """Every window, padded to a multiple of 8 with the zero window."""
-        mp, _ = self.padded
-        nt = mp // _LANES
-        out = np.full(max(round_up(nt, 8), 8), nt, dtype=np.int32)
-        out[:nt] = np.arange(nt, dtype=np.int32)
+        """Every group, padded to a multiple of 4 with the zero group."""
+        ng = self._ng
+        out = np.full(max(round_up(ng, 4), 4), ng, dtype=np.int32)
+        out[:ng] = np.arange(ng, dtype=np.int32)
         return out
 
     def _run(self, x2d: Any, plan: np.ndarray | None = None):
@@ -102,18 +113,18 @@ class AwspMatrix:
 
         xj = jnp.asarray(x2d)
         if plan is None:
-            # The window-skip plan needs concrete activations; under jit
-            # tracing (abstract x) fall back to visiting every window —
+            # The window-group-skip plan needs concrete activations; under
+            # jit tracing (abstract x) fall back to visiting every group —
             # the same degenerate behavior the reference's runtime x==0
             # check has when nothing is known about x ahead of time.
             if isinstance(xj, jax.core.Tracer):
                 plan = self._full_plan()
             else:
                 plan = self.plan(np.asarray(x2d))
-        mp, _ = self.padded
-        xp = jnp.pad(xj, ((0, 0), (0, mp + _LANES - xj.shape[1])))
+        rows_tot = self.vals.shape[1] * _LANES   # incl. group padding + zero
+        xp = jnp.pad(xj, ((0, 0), (0, rows_tot - xj.shape[1])))
         out = awsp_spmm_padded(jnp.asarray(plan), self.idx, self.vals,
-                               xp, w=self.w)
+                               xp, w=self.w, g=self.g)
         return out[::_SUB, :self.shape[1]]
 
     def spmv(self, x: Any) -> jax.Array:

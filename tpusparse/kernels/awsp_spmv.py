@@ -9,20 +9,24 @@ worthless on a SIMD VPU (see asp_spmv.py), so the TPU-native combination is:
 - weight sparsity: the SELL layout (converter-ranked int8 indices + padded
   values, see sell_spmv.py) — bytes scale with nnz(A);
 - activation sparsity: the ASP window-skip plan (asp_spmv.py) — the grid's
-  contraction dimension enumerates only the 128-row m-windows where X has a
-  survivor, driven by a scalar-prefetched window list. DMA traffic for the
-  values of a skipped window is never issued, so bytes scale with
-  nnz(A restricted to active windows).
+  contraction dimension enumerates only the m-window GROUPS where X has a
+  survivor, driven by a scalar-prefetched group list. DMA traffic for the
+  values of a skipped group is never issued, so bytes scale with
+  nnz(A restricted to active groups).
 
-On i.i.d. random X every window has survivors and this degenerates to plain
-SELL (the same honesty note as asp_spmv.py: the reference's per-element skip
-also saves nothing on the memory side at 50% i.i.d. sparsity — values are
-fetched per 128-bit sector regardless). On structured activations (ReLU
-blocks, MoE routing, padded batches) traffic drops proportionally.
+Skip granularity is ``group = G x 128`` rows (default G=8, i.e. 1024 rows),
+not a single 128-row window: measured at one window per grid step the
+per-step DMA-issue overhead is ~0.26 us and the kernel runs 4.3x slower than
+SELL on dense plans; at G windows per step the full-plan path matches SELL's
+windows_per_step pipelining. On i.i.d. random X every group has survivors
+and this degenerates to plain SELL (the same honesty note as asp_spmv.py).
+On structured activations (ReLU blocks, MoE routing, padded batches) traffic
+drops proportionally.
 
-Zero-window padding trick: vals/idx carry one extra all-zero window at index
-``nt`` and X is padded with a matching zero window; plan padding points there,
-so padded grid steps contribute exactly 0.
+Zero-group padding trick: vals/idx carry one extra all-zero window group at
+group index ``ng`` and X is padded with a matching zero group; plan padding
+points there, so padded grid steps contribute exactly 0 (and consecutive
+padded steps hit the same block, which the pipeline does not re-fetch).
 """
 
 from __future__ import annotations
@@ -41,36 +45,43 @@ _SUB = 8
 
 
 def _awsp_kernel(win_ref, idx_ref, val_ref, x_ref, o_ref, *, w: int,
-                 batch: int):
-    del win_ref  # consumed by the index maps
+                 batch: int, g: int, jb: int):
+    # the plan only drives the index maps (win_ref is consumed there)
+    del win_ref
     @pl.when(pl.program_id(1) == 0)
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     ones = jnp.ones((_SUB, w), jnp.float32)
-    idx = idx_ref[0, 0].astype(jnp.int32)                 # (W, 128)
-    vals = val_ref[0, 0]                                  # (W, 128)
-    for b in range(batch):
-        xw = x_ref[b:b + 1, :]                            # (1, 128)
-        xg = jnp.take_along_axis(
-            jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
-        prod = vals * xg
-        acc = jax.lax.dot_general(
-            ones, prod, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        o_ref[b * _SUB:(b + 1) * _SUB, :] += acc.astype(o_ref.dtype)
+    for jj in range(jb):                     # column groups per step
+        for b in range(batch):
+            acc = jnp.zeros((_SUB, _LANES), jnp.float32)
+            for t in range(g):               # windows per skippable group
+                idx = idx_ref[jj, t].astype(jnp.int32)        # (W, 128)
+                vals = val_ref[jj, t]                         # (W, 128)
+                xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
+                xg = jnp.take_along_axis(
+                    jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
+                acc = acc + jax.lax.dot_general(
+                    ones, vals * xg,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            o_ref[b * _SUB:(b + 1) * _SUB,
+                  jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "interpret"))
+@functools.partial(jax.jit, static_argnames=("w", "g", "jb", "interpret"))
 def awsp_spmm_padded(
-    win: jax.Array,      # (na,) int32 active-window ids; pads point at nt
-    idx: jax.Array,      # (nb, nt + 1, W, 128) int8 — last window all-zero
-    vals: jax.Array,     # (nb, nt + 1, W, 128) — last window all-zero
-    x: jax.Array,        # (B, (nt + 1) * 128) — last window all-zero
+    win: jax.Array,      # (na,) int32 active-group ids; pads point at ng
+    idx: jax.Array,      # (nb, (ng + 1) * G, W, 128) int8 — last group zero
+    vals: jax.Array,     # (nb, (ng + 1) * G, W, 128) — last group zero
+    x: jax.Array,        # (B, (ng + 1) * G * 128) — last group zero
     *,
     w: int,
+    g: int,
+    jb: int = 4,
     interpret: bool | None = None,
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     if interpret is None:
@@ -78,26 +89,29 @@ def awsp_spmm_padded(
     nb = vals.shape[0]
     b = x.shape[0]
     na = win.shape[0]
+    while nb % jb:       # degrade gracefully on small matrices
+        jb //= 2
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb, na),
+        grid=(nb // jb, na),
         in_specs=[
-            pl.BlockSpec((1, 1, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
-            pl.BlockSpec((1, 1, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
-            pl.BlockSpec((b, _LANES), lambda j, t, win: (0, win[t])),
+            pl.BlockSpec((jb, g, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
+            pl.BlockSpec((jb, g, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
+            pl.BlockSpec((b, g * _LANES), lambda j, t, win: (0, win[t])),
         ],
-        out_specs=pl.BlockSpec((b * _SUB, _LANES), lambda j, t, win: (0, j)),
+        out_specs=pl.BlockSpec((b * _SUB, jb * _LANES),
+                               lambda j, t, win: (0, j)),
     )
     return pl.pallas_call(
-        functools.partial(_awsp_kernel, w=w, batch=b),
+        functools.partial(_awsp_kernel, w=w, batch=b, g=g, jb=jb),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), vals.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * na * w * _LANES * b,
-            bytes_accessed=nb * na * w * _LANES
+            flops=2 * nb * na * g * w * _LANES * b,
+            bytes_accessed=nb * na * g * w * _LANES
             * (vals.dtype.itemsize + 1),
             transcendentals=0,
         ),

@@ -39,32 +39,35 @@ _SUB = 8
 
 
 def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
-                 tw: int):
+                 tw: int, jb: int = 1):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     ones = jnp.ones((_SUB, w), jnp.float32)
-    for b in range(batch):
-        acc = jnp.zeros((_SUB, _LANES), jnp.float32)
-        for t in range(tw):                               # windows per step
-            idx = idx_ref[0, t].astype(jnp.int32)         # (W, 128)
-            vals = val_ref[0, t]                          # (W, 128)
-            xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
-            xg = jnp.take_along_axis(
-                jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
-            prod = vals * xg                              # (W, 128)
-            # reduce over the W sublanes on the MXU (constant accumulator);
-            # all 8 result rows are identical copies of the sum.
-            acc = acc + jax.lax.dot_general(
-                ones, prod, dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )
-        o_ref[b * _SUB:(b + 1) * _SUB, :] += acc.astype(o_ref.dtype)
+    for jj in range(jb):                                  # col groups / step
+        for b in range(batch):
+            acc = jnp.zeros((_SUB, _LANES), jnp.float32)
+            for t in range(tw):                           # windows per step
+                idx = idx_ref[jj, t].astype(jnp.int32)    # (W, 128)
+                vals = val_ref[jj, t]                     # (W, 128)
+                xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
+                xg = jnp.take_along_axis(
+                    jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
+                prod = vals * xg                          # (W, 128)
+                # reduce over the W sublanes on the MXU (constant
+                # accumulator); all 8 result rows are identical sum copies.
+                acc = acc + jax.lax.dot_general(
+                    ones, prod, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            o_ref[b * _SUB:(b + 1) * _SUB,
+                  jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "windows_per_step", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "w", "windows_per_step", "col_groups_per_step", "interpret"))
 def sell_spmm_padded(
     idx: jax.Array,      # (nb, nt, W, 128) int8
     vals: jax.Array,     # (nb, nt, W, 128)
@@ -72,6 +75,7 @@ def sell_spmm_padded(
     *,
     w: int,
     windows_per_step: int = 16,
+    col_groups_per_step: int = 4,
     interpret: bool | None = None,
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     if interpret is None:
@@ -81,16 +85,19 @@ def sell_spmm_padded(
     tw = windows_per_step
     while nt % tw:       # nt is a power-of-two-ish padding count; degrade
         tw //= 2
-    grid = (nb, nt // tw)
+    jb = col_groups_per_step
+    while nb % jb:
+        jb //= 2
+    grid = (nb // jb, nt // tw)
     out = pl.pallas_call(
-        functools.partial(_sell_kernel, w=w, batch=b, tw=tw),
+        functools.partial(_sell_kernel, w=w, batch=b, tw=tw, jb=jb),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
-            pl.BlockSpec((1, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
+            pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
+            pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
             pl.BlockSpec((b, tw * _LANES), lambda j, t: (0, t)),
         ],
-        out_specs=pl.BlockSpec((b * _SUB, _LANES), lambda j, t: (0, j)),
+        out_specs=pl.BlockSpec((b * _SUB, jb * _LANES), lambda j, t: (0, j)),
         out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), vals.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
