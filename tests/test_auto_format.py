@@ -1,0 +1,64 @@
+"""auto_format routes matrices to the format their statistics call for."""
+
+import numpy as np
+
+from tests.conftest import assert_close
+from tpusparse import auto_format, matrix_stats, spmv
+from tpusparse.testing import generators, reference
+
+
+def _check(a, fmt_cls_name):
+    f = auto_format(a)
+    assert type(f).__name__ == fmt_cls_name, type(f).__name__
+    x = generators.random_sparse_vector(a.shape[0], density=0.5, seed=3)
+    assert_close(spmv(f, x), reference.sgemv_cpu(x, a),
+                 name=f"auto[{fmt_cls_name}]")
+
+
+def test_uniform_mid_density_is_sell():
+    a = generators.random_sparse_matrix(512, 384, density=0.4, seed=1)
+    _check(a, "SellMatrix")
+
+
+def test_near_dense_is_asp():
+    a = generators.random_sparse_matrix(512, 384, density=0.8, seed=1)
+    _check(a, "AspMatrix")
+
+
+def test_block_structured_is_bsr():
+    a = generators.random_sparse_matrix(512, 384, density=0.3, seed=2,
+                                        distribution="blocks")
+    s = matrix_stats(a)
+    if s["empty_block_frac"] >= 0.4:
+        _check(a, "BsrMatrix")
+    else:  # generator produced dense-ish block cover; stats must still agree
+        assert type(auto_format(a)).__name__ != "BsrMatrix"
+
+
+def test_powerlaw_is_binned():
+    a = generators.random_sparse_matrix(1024, 512, density=0.15, seed=4,
+                                        distribution="powerlaw")
+    s = matrix_stats(a)
+    assert s["w_global"] >= 1.5 * s["w_typical"]
+    _check(a, "BinnedSellMatrix")
+
+
+def test_structured_x_pref_is_awsp():
+    a = generators.random_sparse_matrix(512, 384, density=0.4, seed=5)
+    f = auto_format(a, expect_structured_x=True)
+    assert type(f).__name__ == "AwspMatrix"
+
+
+def test_stats_shape():
+    a = generators.random_sparse_matrix(300, 200, density=0.3, seed=6)
+    s = matrix_stats(a)
+    assert 0 < s["density"] < 1 and s["nnz"] == int((a != 0).sum())
+
+
+def test_batched_mid_density_is_asp():
+    a = generators.random_sparse_matrix(512, 384, density=0.5, seed=7)
+    f = auto_format(a, expect_batch=8)
+    assert type(f).__name__ == "AspMatrix"
+    xb = generators.random_sparse_batch(8, 512, density=0.5, seed=7)
+    from tpusparse import spmm
+    assert_close(spmm(f, xb), reference.sgemm_cpu(xb, a), name="auto_spmm")

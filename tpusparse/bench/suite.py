@@ -58,6 +58,7 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
     from tpusparse.formats.ell import EllMatrix
+    from tpusparse.kernels.asp_spmv import AspMatrix
 
     entries += [
         dict(name="ell_xla",
@@ -71,6 +72,9 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
         dict(name="bsr_pallas",
              prepare=lambda a: BsrMatrix.from_dense(a, block_m=512),
+             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+        dict(name="asp_pallas",
+             prepare=lambda a: AspMatrix.from_dense(a),
              run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
     ]
     return entries

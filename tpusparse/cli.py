@@ -89,6 +89,14 @@ def cmd_profile(args) -> int:
     return 0
 
 
+def cmd_report(args) -> int:
+    """Full measured benchmark report (markdown, stdout) -> BENCH.md."""
+    from tpusparse.bench.report import main as report_main
+
+    report_main()
+    return 0
+
+
 def cmd_scaling(args) -> int:
     """Weak/strong scaling efficiency over the available device mesh."""
     from tpusparse.bench.scaling import sweep_scaling
@@ -109,7 +117,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="cmd", required=True)
     for name, fn in [("check", cmd_check), ("bench", cmd_bench),
                      ("headline", cmd_headline), ("profile", cmd_profile),
-                     ("scaling", cmd_scaling)]:
+                     ("scaling", cmd_scaling), ("report", cmd_report)]:
         p = sub.add_parser(name)
         _add_workload_args(p)
         if name == "profile":

@@ -1,0 +1,94 @@
+"""auto_format: pick the right storage format from cheap matrix statistics.
+
+The reference hard-codes which kernel runs (tester.cpp:54-63); a framework
+should route a matrix to the format whose measured regime it falls in
+(crossovers from BENCH.md):
+
+- near-dense (d > 0.6): compression cannot beat streaming dense A — use the
+  ASP window-skip path (dense A + activation skipping; ~dense baseline on
+  i.i.d. X, wins on structured X).
+- block-structured (>= 40% of 128x128 tiles empty): BSR — traffic scales
+  with kept blocks and SpMM rides the MXU on whole tiles.
+- skewed columns (a few heavy columns force the global SELL width to >= 1.5x
+  the typical column group's need): binned SELL — per-bucket widths.
+- otherwise: SELL (flat), or AWSP (SELL + activation window-group skip) when
+  the caller expects structured activations.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+from tpusparse.utils import round_up
+
+_LANES = 128
+
+
+def matrix_stats(a: np.ndarray) -> dict[str, Any]:
+    """Cheap O(nnz) statistics driving format choice."""
+    a = np.asarray(a)
+    m, n = a.shape
+    mask = a != 0
+    nnz = int(mask.sum())
+    density = nnz / max(a.size, 1)
+
+    mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
+    mp_mask = np.zeros((mp, np_), dtype=bool)
+    mp_mask[:m, :n] = mask
+    tiles = mp_mask.reshape(mp // _LANES, _LANES, np_ // _LANES, _LANES)
+    block_nnz = tiles.sum(axis=(1, 3))                    # (mb, nb)
+    empty_block_frac = float((block_nnz == 0).mean())
+
+    # SELL width demand per column (max window nnz): flat SELL pays the
+    # global max for everyone; binned-after-sorting pays ~each column's own
+    # demand — skew = global max vs the median column's demand.
+    win = tiles.sum(axis=1)                               # (mb, nb, 128)
+    col_w = win.max(axis=0).ravel()[:n] if win.size else np.zeros(1)
+    w_global = int(col_w.max()) if col_w.size else 0
+    w_typical = float(np.median(col_w)) if col_w.size else 0.0
+
+    return dict(density=density, nnz=nnz,
+                empty_block_frac=empty_block_frac,
+                w_global=w_global, w_typical=w_typical)
+
+
+def auto_format(a: np.ndarray, *, expect_structured_x: bool = False,
+                expect_batch: int = 1,
+                stats: dict[str, Any] | None = None):
+    """Pack ``a`` into the format its statistics call for (see module doc).
+
+    ``expect_batch``: anticipated SpMM batch size. Gather-based formats
+    (SELL/AWSP) pay VPU gather work per (slot, batch) element, so at B >= 4
+    and moderate density the MXU-whole-tile paths win (measured: SELL SpMM
+    at B=8, d=0.5 is ~6x slower than dense; BENCH.md) — route to ASP
+    (dense tiles + activation window skip) instead.
+    """
+    a = np.asarray(a)
+    s = stats or matrix_stats(a)
+
+    if expect_batch >= 4 and s["density"] > 0.25 \
+            and s["empty_block_frac"] < 0.4:
+        from tpusparse.kernels.asp_spmv import AspMatrix
+
+        return AspMatrix.from_dense(a)
+    if s["density"] > 0.6:
+        from tpusparse.kernels.asp_spmv import AspMatrix
+
+        return AspMatrix.from_dense(a)
+    if s["empty_block_frac"] >= 0.4:
+        from tpusparse.formats.bsr import BsrMatrix
+
+        return BsrMatrix.from_dense(a)
+    if s["w_typical"] > 0 and s["w_global"] >= 1.5 * s["w_typical"]:
+        from tpusparse.formats.binned import BinnedSellMatrix
+
+        return BinnedSellMatrix.from_dense(a)
+    if expect_structured_x:
+        from tpusparse.formats.awsp import AwspMatrix
+
+        return AwspMatrix.from_dense(a)
+    from tpusparse.formats.sell import SellMatrix
+
+    return SellMatrix.from_dense(a)

@@ -68,9 +68,7 @@ class AwspMatrix:
         """Bytes the kernel streams: all groups, or only X-active ones."""
         vals = self.vals
         nb, _, wd, lanes = vals.shape
-        # consecutive identical plan entries (the zero-group padding) hit
-        # the same block and are not re-fetched by the grid pipeline
-        na = self._ng if x is None else len(np.unique(self.plan(np.asarray(x))))
+        na = self._ng if x is None else len(self.plan(np.asarray(x)))
         return nb * na * self.g * wd * lanes * (vals.dtype.itemsize + 1)
 
     def to_dense(self) -> np.ndarray:
@@ -83,9 +81,13 @@ class AwspMatrix:
                           self.nnz).to_dense()
 
     def plan(self, x2d: np.ndarray) -> np.ndarray:
-        """Active-group ids for this activation, padded with the zero group.
+        """Active-group ids for this activation (the zero group if none).
 
-        Padded to a multiple of 4 entries so jit sees few distinct grids.
+        Exact-sized on purpose: a padded entry pointing at the zero group is
+        NOT free — Mosaic re-issues the DMA for dynamically-indexed blocks
+        even when the index repeats (measured: a 1-active/3-pad plan ran at
+        full-matrix traffic). Exact plans mean one compile per distinct
+        active-count, which is bounded by the group count and cached.
         """
         x2d = np.asarray(x2d)
         if x2d.ndim == 1:
@@ -96,17 +98,13 @@ class AwspMatrix:
         xw = np.zeros(rows, dtype=bool)
         xw[:m] = (x2d[:, :m] != 0).any(axis=0)
         active = np.nonzero(xw.reshape(ng, self.g * _LANES).any(axis=1))[0]
-        size = max(round_up(active.size, 4), 4)
-        out = np.full(size, ng, dtype=np.int32)
-        out[:active.size] = active
-        return out
+        if active.size == 0:
+            active = np.array([ng])
+        return active.astype(np.int32)
 
     def _full_plan(self) -> np.ndarray:
-        """Every group, padded to a multiple of 4 with the zero group."""
-        ng = self._ng
-        out = np.full(max(round_up(ng, 4), 4), ng, dtype=np.int32)
-        out[:ng] = np.arange(ng, dtype=np.int32)
-        return out
+        """Every group — the degenerate plan used under jit tracing."""
+        return np.arange(self._ng, dtype=np.int32)
 
     def _run(self, x2d: Any, plan: np.ndarray | None = None):
         from tpusparse.kernels.awsp_spmv import awsp_spmm_padded

@@ -30,8 +30,20 @@ from tpusparse.utils import round_up
 
 _LANES = 128
 
-# bucket width levels (slots per 128-window); smallest covering level wins
-_LEVELS = (8, 16, 32, 48, 64, 96, 128)
+
+def _pick_levels(group_w: np.ndarray, max_buckets: int = 3) -> list[int]:
+    """Adaptive width levels (slots per 128-window) from the distribution of
+    per-group demand. Few, large buckets on purpose: each bucket is its own
+    Pallas call with its own pipeline ramp-up, and measured per-call cost
+    outweighs the padding a fine-grained fixed ladder saves (BENCH.md: a
+    7-level ladder ran a power-law matrix at 26% of roofline; the 2-3
+    bucket quantile ladder recovers most of it)."""
+    qs = (0.5, 0.85, 1.0)[-max_buckets:]
+    levels = sorted({max(round_up(int(np.quantile(group_w, q)), 8), 8)
+                     for q in qs})
+    if levels[-1] < group_w.max():        # guarantee coverage
+        levels[-1] = int(round_up(int(group_w.max()), 8))
+    return levels
 
 
 @jax.tree_util.register_pytree_node_class
@@ -73,10 +85,10 @@ class BinnedSellMatrix:
         win = (ap.reshape(mp // _LANES, _LANES, np_) != 0).sum(axis=1)
         group_w = win.reshape(mp // _LANES, nb, _LANES).max(axis=(0, 2))
 
-        levels = np.array(_LEVELS)
-        need = levels.searchsorted(group_w, side="left")
+        lv = _pick_levels(group_w)
+        need = np.array(lv).searchsorted(group_w, side="left")
         buckets, widths, order = [], [], []
-        for li, level in enumerate(_LEVELS):
+        for li, level in enumerate(lv):
             groups = np.nonzero(need == li)[0]
             if groups.size == 0:
                 continue
@@ -130,6 +142,11 @@ class BinnedSellMatrix:
             out = sell_spmm_padded(b["idx"], vals, xp, w=w)
             parts.append(out[::8])                 # (B, nb_k*128)
         y_sorted = jnp.concatenate(parts, axis=1)
+        # NOTE: this 4096-lane gather costs ~20 us on TPU (near-serial per
+        # index) — roughly a third of the whole powerlaw SpMV. Coarsening
+        # the sort to 8-column bundles makes the gather free but inflates
+        # the light bucket's width ~2.5x (a heavy column drags 7 neighbors
+        # with it), which costs more than it saves. Measured in BENCH.md.
         return jnp.take(y_sorted, self.inv_perm, axis=1)
 
     def spmv(self, x: Any) -> jax.Array:

@@ -125,19 +125,27 @@ class AspMatrix:
         pad = round_up(active.size, 1) - active.size
         return np.concatenate([active, np.full(pad, nt)]).astype(np.int32)
 
-    def _run(self, x2d: np.ndarray) -> jax.Array:
-        b = x2d.shape[0]
-        win = self.plan(x2d)
+    def _full_plan(self) -> np.ndarray:
+        """Every window — the degenerate plan used under jit tracing."""
+        nt = (self.a_pad.shape[0] - _LANES) // _LANES
+        return np.arange(nt, dtype=np.int32)
+
+    def _run(self, x2d) -> jax.Array:
+        xj = jnp.asarray(x2d)
+        b = xj.shape[0]
+        # the window plan needs concrete activations; under jit tracing
+        # visit every window (same degenerate case as formats/awsp.py)
+        win = self._full_plan() if isinstance(xj, jax.core.Tracer) \
+            else self.plan(np.asarray(x2d))
         mp_tot, np_ = self.a_pad.shape
-        xp = np.zeros((round_up(max(b, 1), 8), mp_tot), x2d.dtype)
-        xp[:b, :x2d.shape[1]] = x2d
-        y = _asp_call(jnp.asarray(win), jnp.asarray(xp),
-                      jnp.asarray(self.a_pad), block_n=self.block_n,
-                      interpret=default_interpret())
+        xp = jnp.pad(xj, ((0, round_up(max(b, 1), 8) - b),
+                          (0, mp_tot - xj.shape[1])))
+        y = _asp_call(jnp.asarray(win), xp, jnp.asarray(self.a_pad),
+                      block_n=self.block_n, interpret=default_interpret())
         return y[:b, :self.shape[1]]
 
     def spmv(self, x) -> jax.Array:
-        return self._run(np.asarray(x)[None, :])[0]
+        return self._run(jnp.asarray(x)[None, :])[0]
 
     def spmm(self, x) -> jax.Array:
-        return self._run(np.asarray(x))
+        return self._run(jnp.asarray(x))

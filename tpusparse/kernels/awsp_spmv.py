@@ -23,10 +23,12 @@ and this degenerates to plain SELL (the same honesty note as asp_spmv.py).
 On structured activations (ReLU blocks, MoE routing, padded batches) traffic
 drops proportionally.
 
-Zero-group padding trick: vals/idx carry one extra all-zero window group at
-group index ``ng`` and X is padded with a matching zero group; plan padding
-points there, so padded grid steps contribute exactly 0 (and consecutive
-padded steps hit the same block, which the pipeline does not re-fetch).
+Zero-group trick: vals/idx carry one extra all-zero window group at group
+index ``ng`` and X is padded with a matching zero group; an empty plan
+points there, so an all-zero X still has a valid (one-step, zero-result)
+grid. Plans are otherwise EXACT-sized — Mosaic re-issues DMAs for
+dynamically-indexed blocks even when the index repeats, so zero-group
+padding entries would cost real traffic (measured at full-matrix bytes).
 """
 
 from __future__ import annotations

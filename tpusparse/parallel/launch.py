@@ -1,0 +1,76 @@
+"""Multi-host launch helpers.
+
+SURVEY.md §2.4 plans a "multi-host launcher: ``jax.distributed.initialize()``
++ ``jax.process_index()``-aware data gen" with no reference counterpart (the
+reference is single-GPU). These helpers are the environment-side glue: call
+``initialize()`` once per process before touching devices, then build the
+global mesh and generate only this process's slab of the operand.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+
+from tpusparse.parallel.mesh import make_mesh
+
+
+def initialize(coordinator_address: str | None = None,
+               num_processes: int | None = None,
+               process_id: int | None = None) -> None:
+    """Idempotent ``jax.distributed.initialize`` (env-driven when args are
+    None — TPU pod slices autodetect all three from the metadata server)."""
+    if jax.process_count() > 1:      # already initialized
+        return
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except (RuntimeError, ValueError):
+        # single-process run (no coordinator configured) — nothing to do;
+        # jax.distributed.initialize also raises if called twice
+        pass
+
+
+def global_mesh(axis_name: str = "n"):
+    """1-D mesh over every device of every process."""
+    return make_mesh({axis_name: len(jax.devices())})
+
+
+def process_slab(m: int, n: int, *, partition: str = "n",
+                 process_index: int | None = None,
+                 process_count: int | None = None) -> tuple[slice, slice]:
+    """This process's (row, col) slab of the global (m, n) operand.
+
+    With ``partition='n'`` hosts split the output dim; with ``'m'`` the
+    contraction dim. Generation stays reproducible across launches because
+    every host uses the same global seed and simply slices its slab
+    (tester semantics: one logical global matrix).
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    if partition == "n":
+        if n % pc:
+            raise ValueError(f"n={n} not divisible by {pc} processes")
+        step = n // pc
+        return slice(0, m), slice(pi * step, (pi + 1) * step)
+    if partition == "m":
+        if m % pc:
+            raise ValueError(f"m={m} not divisible by {pc} processes")
+        step = m // pc
+        return slice(pi * step, (pi + 1) * step), slice(0, n)
+    raise ValueError(f"unknown partition {partition!r}")
+
+
+def host_local_matrix(m: int, n: int, *, density: float = 0.5, seed: int = 0,
+                      partition: str = "n", distribution: str = "uniform",
+                      **slab_kw) -> np.ndarray:
+    """This process's slab of the seeded global matrix (same seed on every
+    host -> slabs tile one logical matrix, like a single-host run)."""
+    from tpusparse.testing import generators
+
+    a = generators.random_sparse_matrix(m, n, density=density, seed=seed,
+                                        distribution=distribution)
+    rs, cs = process_slab(m, n, partition=partition, **slab_kw)
+    return a[rs, cs]
