@@ -54,10 +54,31 @@ def _bench_entries(a, x, entries, out):
     print("", file=out)
 
 
-def main(out=sys.stdout) -> None:
+def main(out=sys.stdout, sections: set[str] | None = None) -> None:
+    """sections: subset of {canonical, powerlaw, lowdensity, structured,
+    spmm} to run (None = all). Lets long runs be split across timeouts."""
+    def on(name):
+        return sections is None or name in sections
+
     dev = jax.devices()[0]
     hbm = detect_hbm_gbps()
-    print("# BENCH — measured results\n", file=out)
+    if sections is None:
+        print("# BENCH — measured results\n", file=out)
+        _header(dev, hbm, out)
+
+    if on("canonical"):
+        _canonical(out)
+    if on("powerlaw"):
+        _powerlaw(out)
+    if on("lowdensity"):
+        _lowdensity(out)
+    if on("structured"):
+        _structured(out)
+    if on("spmm"):
+        _spmm(out)
+
+
+def _header(dev, hbm, out):
     print(f"Device: `{dev.device_kind}` ({dev.platform}); assumed HBM "
           f"speed-of-light {hbm:.0f} GB/s. Timing: slope method over the "
           f"async tunnel (`bench/runner.py`); conversion and host-device "
@@ -68,7 +89,8 @@ def main(out=sys.stdout) -> None:
           f"kernels, which is why a few short rows can read slightly "
           f"above 100% of the spec roofline.\n", file=out)
 
-    # 1. canonical workload — full registry
+
+def _canonical(out):
     print("## Canonical workload (reference config): "
           "M=N=4096, uniform, d(A)=d(X)=0.5, fp32 SpMV\n", file=out)
     print("canonical sweep", file=sys.stderr)
@@ -82,7 +104,8 @@ def main(out=sys.stdout) -> None:
     print("(`ell_xla` is a correctness cross-check path, ~1000x off the "
           "roofline by design; excluded from timing tables.)\n", file=out)
 
-    # 2. power-law — binned SELL showcase
+
+def _powerlaw(out):
     print("## Power-law columns: M=N=4096, powerlaw, d(A)=0.25 — "
           "binned SELL's case\n", file=out)
     print("powerlaw", file=sys.stderr)
@@ -93,7 +116,8 @@ def main(out=sys.stdout) -> None:
     _bench_entries(a, x, [e for e in registry(full=True)
                           if e["name"] in names], out)
 
-    # 3. low density — compression dominates
+
+def _lowdensity(out):
     print("## Low density: M=N=4096, uniform, d(A)=0.1\n", file=out)
     print("low density", file=sys.stderr)
     a = generators.random_sparse_matrix(4096, 4096, density=0.1, seed=2)
@@ -102,8 +126,10 @@ def main(out=sys.stdout) -> None:
     _bench_entries(a, x, [e for e in registry(full=True)
                           if e["name"] in names], out)
 
-    # 4. structured activations — AWSP showcase (plan precomputed, as a
-    # serving system with a fixed routing mask would use it)
+
+def _structured(out):
+    # AWSP showcase: plan precomputed, as a serving system with a fixed
+    # routing mask would use it
     print("## Structured activations: d(A)=0.5 uniform, X live only in the "
           "first 1/4 of rows (g=8 window groups)\n", file=out)
     print("structured X", file=sys.stderr)
@@ -142,7 +168,8 @@ def main(out=sys.stdout) -> None:
           "exceeds the roofline on purpose — the skipped ones are free.\n",
           file=out)
 
-    # 5. SpMM
+
+def _spmm(out):
     print("## SpMM: B=8, M=N=4096, uniform d=0.5\n", file=out)
     print("spmm", file=sys.stderr)
     xb = generators.random_sparse_batch(8, 4096, density=0.5, seed=4)
@@ -155,4 +182,11 @@ def main(out=sys.stdout) -> None:
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--sections", default=None,
+                   help="comma list: canonical,powerlaw,lowdensity,"
+                        "structured,spmm (default all)")
+    args = p.parse_args()
+    main(sections=set(args.sections.split(",")) if args.sections else None)

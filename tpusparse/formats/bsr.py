@@ -47,11 +47,25 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
         order = np.lexsort((ii, jj))
         ii, jj = ii[order], jj[order]
     blocks = tiles[ii, jj]                            # (nblk, TBm, 128)
+    ii, jj, blocks = _pad_blocks(ii, jj, blocks, nb, block_m)
 
     return dict(bi=ii.astype(np.int32), bj=jj.astype(np.int32),
                 blocks=np.ascontiguousarray(blocks), shape=(m, n),
                 padded=(mp, np_), block_m=block_m,
                 nnz=int((a != 0).sum()))
+
+
+def _pad_blocks(ii, jj, blocks, nb, block_m):
+    """Pad the block list to a multiple of 8 (the wide kernel's tiles/step)
+    with zero blocks at the LAST output group — keeping bj non-decreasing,
+    which the scan-fallback kernel's first-visit init relies on."""
+    pad = -len(jj) % 8
+    if pad:
+        ii = np.concatenate([ii, np.zeros(pad, ii.dtype)])
+        jj = np.concatenate([jj, np.full(pad, nb - 1, jj.dtype)])
+        blocks = np.concatenate(
+            [blocks, np.zeros((pad,) + blocks.shape[1:], blocks.dtype)])
+    return ii, jj, blocks
 
 
 @jax.tree_util.register_pytree_node_class
@@ -100,9 +114,11 @@ class BsrMatrix:
                                   blocks.dtype)])
             order = np.lexsort((bi, bj))
             bi, bj, blocks = bi[order], bj[order], blocks[order]
+        nnz = int((blocks != 0).sum())
+        bi, bj, blocks = _pad_blocks(bi, bj, blocks, np_ // _LANES, block_m)
         return cls(bi=bi, bj=bj, blocks=np.ascontiguousarray(blocks),
                    shape=(m, n), padded=(mp, np_), block_m=block_m,
-                   nnz=int((blocks != 0).sum()))
+                   nnz=nnz)
 
     def device_bytes(self) -> int:
         blocks = self.blocks
@@ -135,10 +151,10 @@ class BsrMatrix:
             x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
         y = bsr_spmm_padded(self.bi, self.bj, self.blocks, x2d,
                             block_m=self.block_m, n_padded=np_)
-        return y[:self.shape[1], :b]
+        return y[:b, :self.shape[1]]
 
     def spmv(self, x: Any) -> jax.Array:
-        return self._run(jnp.asarray(x)[None, :])[:, 0]
+        return self._run(jnp.asarray(x)[None, :])[0]
 
     def spmm(self, x: Any) -> jax.Array:
-        return self._run(jnp.asarray(x)).T
+        return self._run(jnp.asarray(x))

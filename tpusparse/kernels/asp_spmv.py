@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels.precision import dot3
 from tpusparse.utils import cdiv, default_interpret, round_up
 
 _LANES = 128
@@ -41,9 +42,10 @@ def _asp_kernel(win_ref, x_ref, a_ref, o_ref):
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(
-        x_ref[:], a_ref[:], preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    # 3-pass split-bf16 matmul: fp32 HIGHEST costs 6 MXU passes and left
+    # this kernel compute-bound at 65% of roofline (BENCH.md)
+    o_ref[:] += dot3(
+        x_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
     ).astype(o_ref.dtype)
 
 
@@ -95,7 +97,9 @@ class AspMatrix:
         return cls(children[0], *aux)
 
     @classmethod
-    def from_dense(cls, a: np.ndarray, block_n: int = 512) -> "AspMatrix":
+    def from_dense(cls, a: np.ndarray, block_n: int = 2048) -> "AspMatrix":
+        # default block_n: measured 558 GB/s at 512 (256 grid steps pay
+        # ~0.2 us DMA-issue each) vs 751 GB/s at 2048 (BENCH.md)
         a = np.asarray(a)
         m, n = a.shape
         mp, np_ = round_up(m, _LANES), round_up(n, block_n)

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels.precision import dot2_exact_lhs
 from tpusparse.utils import default_interpret
 
 _LANES = 128
@@ -64,12 +65,9 @@ def _awsp_kernel(win_ref, idx_ref, val_ref, x_ref, o_ref, *, w: int,
                 xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
                 xg = jnp.take_along_axis(
                     jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
-                acc = acc + jax.lax.dot_general(
-                    ones, vals * xg,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                # 2-pass MXU reduction, see sell_spmv.py
+                acc = acc + dot2_exact_lhs(
+                    ones, vals * xg, (((1,), (0,)), ((), ())))
             o_ref[b * _SUB:(b + 1) * _SUB,
                   jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels.precision import dot3
 from tpusparse.utils import cdiv, default_interpret
 
 
@@ -49,9 +50,10 @@ def _dense_kernel(x_ref, a_ref, o_ref):
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    o_ref[:] += jnp.dot(
-        x_ref[:], a_ref[:], preferred_element_type=jnp.float32,
-        precision=_PRECISION,
+    # 3-pass split-bf16 (kernels/precision.py): Mosaic's HIGHEST costs 6 MXU
+    # passes and left this kernel at 89% of roofline
+    o_ref[:] += dot3(
+        x_ref[:], a_ref[:], (((1,), (0,)), ((), ())),
     ).astype(o_ref.dtype)
 
 

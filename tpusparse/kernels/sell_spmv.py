@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels.precision import dot2_exact_lhs
 from tpusparse.utils import default_interpret
 
 _LANES = 128
@@ -57,11 +58,10 @@ def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
                 prod = vals * xg                          # (W, 128)
                 # reduce over the W sublanes on the MXU (constant
                 # accumulator); all 8 result rows are identical sum copies.
-                acc = acc + jax.lax.dot_general(
-                    ones, prod, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
+                # 2-pass split-bf16: the ones lhs is exact in bf16, so this
+                # matches fp32 HIGHEST at a third of the MXU passes.
+                acc = acc + dot2_exact_lhs(
+                    ones, prod, (((1,), (0,)), ((), ())))
             o_ref[b * _SUB:(b + 1) * _SUB,
                   jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 

@@ -163,7 +163,7 @@ def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
     def f(bi_loc, bj_loc, blk_loc, x_full):
         y = bsr_spmm_padded(bi_loc[0], bj_loc[0], blk_loc[0], x_full,
                             block_m=block_m, n_padded=n_local)
-        return y[:, :max(b, 1)].T                 # (B8->B?, n_local) -> trim below
+        return y[:max(b, 1)]                      # (B8 -> B?, n_local)
 
     y = _shard_map(f, mesh=mesh, check_vma=False,
                    in_specs=(P("n"), P("n"), P("n"), P()),
