@@ -67,3 +67,25 @@ def test_sell_sharded_indivisible_raises(mesh8, workload):
     s = SellMatrix.from_dense(a[:, :1920])  # 15 groups, not divisible by 8
     with pytest.raises(ValueError):
         sell_spmm_sharded(s, x, mesh8, "n")
+
+
+def test_awsp_sharded_n():
+    import numpy as np
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.parallel import make_mesh
+    from tpusparse.parallel.sparse import awsp_spmm_sharded
+    from tpusparse.testing import generators, reference
+    from tests.conftest import assert_close
+
+    a = generators.random_sparse_matrix(512, 512, density=0.4, seed=41)
+    x = generators.random_sparse_vector(512, density=0.5, seed=41).copy()
+    x[256:] = 0                                   # dead half -> plan skips
+    f = AwspMatrix.from_dense(a, g=1)
+    mesh = make_mesh({"n": 4})
+    y = awsp_spmm_sharded(f, x, mesh)
+    assert_close(y, reference.sgemv_cpu(x, a), name="awsp_sharded_n")
+    assert f.plan(x).size == 2                    # 2 of 4 windows live
+
+    xb = generators.random_sparse_batch(4, 512, density=0.5, seed=42)
+    yb = awsp_spmm_sharded(f, xb, mesh)
+    assert_close(yb, reference.sgemm_cpu(xb, a), name="awsp_sharded_n_spmm")

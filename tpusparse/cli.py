@@ -63,10 +63,41 @@ def cmd_check(args) -> int:
 
 
 def cmd_bench(args) -> int:
+    """Kernel sweep; ``--format json|csv`` emits one machine-readable record
+    per kernel x matrix (SURVEY.md §5: structured results replace the
+    reference's stdout banners)."""
+    from tpusparse.bench.roofline import roofline_fraction
     from tpusparse.bench.suite import registry, sweep
 
-    sweep(_config_from(args), verbose=True,
-          entries=_select(registry(), args.kernels))
+    cfg = _config_from(args)
+    results = sweep(cfg, verbose=args.format == "text",
+                    entries=_select(registry(), args.kernels))
+    if args.format == "text":
+        return 0
+    records = [
+        dict(kernel=r.name, m=cfg.m, n=cfg.n, batch=cfg.batch,
+             density=cfg.density, x_density=cfg.x_density,
+             distribution=cfg.distribution, seed=cfg.seed,
+             us=round(r.seconds * 1e6, 2),
+             gbps=round(r.gbps, 1) if r.gbps else None,
+             gflops=round(r.gflops, 1) if r.gflops else None,
+             gnnz_per_s=round(r.nnz_per_s / 1e9, 3) if r.nnz_per_s else None,
+             roofline_frac=round(
+                 roofline_fraction(r.bytes_moved, r.seconds), 3)
+             if r.bytes_moved else None,
+             bytes_moved=r.bytes_moved)
+        for r in results
+    ]
+    if args.format == "json":
+        for rec in records:
+            print(json.dumps(rec))
+    else:                                          # csv
+        import csv as _csv
+        import sys as _sys
+
+        w = _csv.DictWriter(_sys.stdout, fieldnames=list(records[0]))
+        w.writeheader()
+        w.writerows(records)
     return 0
 
 
@@ -122,6 +153,9 @@ def main(argv=None) -> int:
         _add_workload_args(p)
         if name == "profile":
             p.add_argument("--trace-dir", default="/tmp/tpusparse-trace")
+        if name == "bench":
+            p.add_argument("--format", default="text",
+                           choices=["text", "json", "csv"])
         if name == "scaling":
             p.add_argument("--mode", default="weak",
                            choices=["weak", "strong"])

@@ -106,6 +106,48 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
     return y[0] if squeeze else y
 
 
+# ----------------------------- AWSP ----------------------------------------
+
+
+def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
+                      plan: np.ndarray | None = None) -> jax.Array:
+    """y = x @ A with AWSP-format A output-sharded over ``mesh``.
+
+    Column groups shard on ``nb``; the activation window-group plan is
+    host-computed once and replicated — every chip skips the same dead
+    window groups of its own column slab, so traffic per chip is
+    (active groups / groups) x (format bytes / D).
+    """
+    from tpusparse.formats.awsp import AwspMatrix  # noqa: F401 (doc type)
+    from tpusparse.kernels.awsp_spmv import awsp_spmm_padded
+
+    squeeze = np.ndim(x) == 1
+    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    if plan is None:
+        plan = w.plan(np.asarray(x2d))
+    mp, _ = w.padded
+    rows_tot = w.vals.shape[1] * _LANES
+    xp = jnp.pad(x2d, ((0, 0), (0, rows_tot - x2d.shape[1])))
+
+    d = mesh.shape["n"]
+    nb = w.vals.shape[0]
+    if nb % d:
+        raise ValueError(f"nb={nb} column groups not divisible by {d}")
+    width, g = w.w, w.g
+
+    def f(plan_full, idx_loc, vals_loc, x_full):
+        out = awsp_spmm_padded(plan_full, idx_loc, vals_loc, x_full,
+                               w=width, g=g)
+        return out[::_SUB]                        # (B, nb_loc*128)
+
+    y = _shard_map(f, mesh=mesh, check_vma=False,
+                   in_specs=(P(), P("n"), P("n"), P()),
+                   out_specs=P(None, "n"))(
+        jnp.asarray(plan), w.idx, w.vals, xp)
+    y = y[:, :w.shape[1]]
+    return y[0] if squeeze else y
+
+
 # ----------------------------- BSR -----------------------------------------
 
 
