@@ -11,7 +11,7 @@ import pytest
 from tpusparse.formats.bell import BellMatrix, bell_pack
 from tpusparse.formats.csr import CsrMatrix
 from tpusparse.formats.ell import EllMatrix
-from tpusparse.testing import generators
+from tpusparse.testing import generators, reference
 
 
 @pytest.fixture(scope="module", params=["uniform", "powerlaw", "blocks"])
@@ -127,3 +127,51 @@ def test_format_save_load(tmp_path, dense, kind):
     io.save(p, fmt)
     fmt2 = io.load(p)
     np.testing.assert_array_equal(fmt2.to_dense(), dense)
+
+
+def test_sell_from_csr_matches_from_dense():
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.sell import SellMatrix
+
+    a = generators.random_sparse_matrix(300, 260, density=0.3, seed=51)
+    s1 = SellMatrix.from_dense(a)
+    s2 = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    np.testing.assert_array_equal(np.asarray(s1.vals), np.asarray(s2.vals))
+    np.testing.assert_array_equal(np.asarray(s1.idx), np.asarray(s2.idx))
+    assert s1.w == s2.w and s1.padded == s2.padded
+    np.testing.assert_array_equal(s2.to_dense(), a)
+
+
+def test_sell_from_csr_spmv_large_sparse():
+    """Ingestion path for matrices never materialized densely."""
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.sell import SellMatrix
+    from tests.conftest import assert_close
+
+    rng = np.random.default_rng(52)
+    m = n = 2048
+    nnz = 20000
+    rows = rng.integers(0, m, nnz)
+    cols = rng.integers(0, n, nnz)
+    vals = rng.uniform(-1, 1, nnz).astype(np.float32)
+    # dedupe coordinates (CSR ingest sums duplicates ambiguously otherwise)
+    flat = rows * n + cols
+    _, keep = np.unique(flat, return_index=True)
+    rows, cols, vals = rows[keep], cols[keep], vals[keep]
+    csr = CsrMatrix.from_coo(m, n, rows, cols, vals)
+    s = SellMatrix.from_csr(csr)
+    x = generators.random_sparse_vector(m, density=0.5, seed=53)
+    a = np.zeros((m, n), np.float32)
+    a[rows, cols] = vals
+    assert_close(s.spmv(x), reference.sgemv_cpu(x, a), name="sell_from_csr")
+
+
+def test_awsp_from_csr():
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.formats.csr import CsrMatrix
+
+    a = generators.random_sparse_matrix(300, 260, density=0.3, seed=54)
+    w1 = AwspMatrix.from_dense(a, g=2)
+    w2 = AwspMatrix.from_csr(CsrMatrix.from_dense(a), g=2)
+    np.testing.assert_array_equal(np.asarray(w1.vals), np.asarray(w2.vals))
+    np.testing.assert_array_equal(w2.to_dense(), a)

@@ -49,15 +49,25 @@ class AwspMatrix:
         return cls(*children, *aux)
 
     @classmethod
-    def from_dense(cls, a: np.ndarray, w: int | None = None,
-                   g: int = 8) -> "AwspMatrix":
-        p = sell_pack(a, w=w)
+    def _from_pack(cls, p: dict, g: int) -> "AwspMatrix":
         idx, vals = p["idx"], p["vals"]
         nt = vals.shape[1]
         extra = round_up(nt, g) - nt + g        # align to G + 1 zero group
         zpad = ((0, 0), (0, extra), (0, 0), (0, 0))
         return cls(np.pad(idx, zpad), np.pad(vals, zpad), p["shape"],
                    p["padded"], p["w"], g, p["nnz"])
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, w: int | None = None,
+                   g: int = 8) -> "AwspMatrix":
+        return cls._from_pack(sell_pack(a, w=w), g)
+
+    @classmethod
+    def from_csr(cls, csr, w: int | None = None, g: int = 8) -> "AwspMatrix":
+        """Pack from ``CsrMatrix`` without materializing dense A."""
+        from tpusparse.formats.sell import sell_pack_csr
+
+        return cls._from_pack(sell_pack_csr(csr, w=w), g)
 
     @property
     def _ng(self) -> int:

@@ -68,6 +68,46 @@ def sell_pack(a: np.ndarray, w: int | None = None,
                 w=w, nnz=int(mask.sum()))
 
 
+def sell_pack_csr(csr, w: int | None = None) -> dict[str, Any]:
+    """Pack straight from a ``CsrMatrix`` (CSR of A.T) without ever
+    materializing dense A — the ingestion path for matrices too sparse/large
+    to round-trip through a dense array (a 100k x 100k d=0.01 matrix is
+    40 GB dense, 120 MB as SELL)."""
+    m, n = csr.shape
+    mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
+    nt, nb = mp // _LANES, np_ // _LANES
+
+    row_nnz = csr.row_nnz
+    c = np.repeat(np.arange(n, dtype=np.int64), row_nnz)   # output column
+    m_idx = csr.col_idx.astype(np.int64)                   # contraction idx
+    t = m_idx // _LANES
+    off = (m_idx % _LANES).astype(np.int8)
+    # entries are sorted by (c, m); rank within each (c, t) run
+    if c.size:
+        new_grp = np.empty(c.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
+        grp_start = np.flatnonzero(new_grp)
+        counts = np.diff(np.append(grp_start, c.size))
+        rank = np.arange(c.size) - np.repeat(grp_start, counts)
+        max_nnz = int(counts.max())
+    else:
+        rank = np.zeros(0, dtype=np.int64)
+        max_nnz = 0
+    if w is None:
+        w = max(round_up(max_nnz, _SUB), _SUB)
+    elif max_nnz > w:
+        raise ValueError(f"w={w} < max window-column nnz {max_nnz}")
+
+    vals = np.zeros((nb, nt, w, _LANES), dtype=csr.values.dtype)
+    idx = np.zeros((nb, nt, w, _LANES), dtype=np.int8)
+    jj, rr = c // _LANES, c % _LANES
+    vals[jj, t, rank, rr] = csr.values
+    idx[jj, t, rank, rr] = off
+    return dict(idx=idx, vals=vals, shape=(m, n), padded=(mp, np_),
+                w=w, nnz=int(csr.nnz))
+
+
 @jax.tree_util.register_pytree_node_class
 class SellMatrix:
     def __init__(self, idx: Any, vals: Any, shape, padded, w: int, nnz: int):
@@ -89,6 +129,11 @@ class SellMatrix:
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None) -> "SellMatrix":
         return cls(**sell_pack(a, w=w))
+
+    @classmethod
+    def from_csr(cls, csr, w: int | None = None) -> "SellMatrix":
+        """Pack from ``CsrMatrix`` without materializing dense A."""
+        return cls(**sell_pack_csr(csr, w=w))
 
     def device_bytes(self) -> int:
         vals = self.vals
