@@ -89,3 +89,23 @@ def test_awsp_sharded_n():
     xb = generators.random_sparse_batch(4, 512, density=0.5, seed=42)
     yb = awsp_spmm_sharded(f, xb, mesh)
     assert_close(yb, reference.sgemm_cpu(xb, a), name="awsp_sharded_n_spmm")
+
+
+def test_sell_sharded_ring():
+    import numpy as np
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.parallel import make_mesh
+    from tpusparse.parallel.sparse import sell_spmm_sharded
+    from tpusparse.testing import generators, reference
+    from tests.conftest import assert_close
+
+    a = generators.random_sparse_matrix(1024, 512, density=0.4, seed=43)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=43)
+    s = SellMatrix.from_dense(a)
+    mesh = make_mesh({"n": 4})
+    y = sell_spmm_sharded(s, x, mesh, partition="ring")
+    assert_close(y, reference.sgemv_cpu(x, a), name="sell_ring")
+
+    xb = generators.random_sparse_batch(4, 1024, density=0.5, seed=44)
+    yb = sell_spmm_sharded(s, xb, mesh, partition="ring")
+    assert_close(yb, reference.sgemm_cpu(xb, a), name="sell_ring_spmm")

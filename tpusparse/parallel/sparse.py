@@ -87,6 +87,40 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P(None, "n"), P(None, "n"), P(None, "n")),
                        out_specs=P())(s.idx, s.vals, x2d)
+    elif partition == "ring":
+        # shard BOTH dims: each chip owns a column-group slab (nb) and an
+        # X window-shard; X shards rotate via ppermute while each chip
+        # consumes the matching window band of its local SELL slice —
+        # halo exchange overlapped with compute (the ring-attention analog,
+        # SURVEY.md §5). Peak memory per chip: format/D + X/D.
+        d = mesh.shape["n"]
+        if nb % d or nt % d:
+            raise ValueError(f"nb={nb} or nt={nt} not divisible by {d}")
+        band = nt // d
+
+        def f(idx_loc, vals_loc, x_loc):
+            my = lax.axis_index("n")
+            b = x_loc.shape[0]
+
+            def step(s, carry):
+                y, xc = carry
+                # xc is X window-shard ((my + s) % D): consume that band
+                t0 = ((my + s) % d) * band
+                idx_b = lax.dynamic_slice_in_dim(idx_loc, t0, band, axis=1)
+                val_b = lax.dynamic_slice_in_dim(vals_loc, t0, band, axis=1)
+                y = y + sell_spmm_padded(idx_b, val_b, xc, w=w)
+                perm = [(i, (i - 1) % d) for i in range(d)]
+                return (y, lax.ppermute(xc, "n", perm))
+
+            y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
+                           vals_loc.dtype)
+            y0 = lax.pcast(y0, "n", to="varying")
+            y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
+            return y[::_SUB]
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P(None, "n")),
+                       out_specs=P(None, "n"))(s.idx, s.vals, x2d)
     elif partition == "2d":
         db, dn = mesh.shape["b"], mesh.shape["n"]
         if nb % dn or x2d.shape[0] % db:
