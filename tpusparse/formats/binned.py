@@ -48,23 +48,25 @@ def _pick_levels(group_w: np.ndarray, max_buckets: int = 3) -> list[int]:
 
 @jax.tree_util.register_pytree_node_class
 class BinnedSellMatrix:
-    def __init__(self, buckets: Any, inv_perm: Any, shape, nnz: int,
-                 widths: tuple):
+    def __init__(self, buckets: Any, inv_perm: Any, perm_plan: tuple, shape,
+                 nnz: int, widths: tuple):
         self.buckets = buckets          # list of dicts with idx/vals leaves
         self.inv_perm = inv_perm        # (n,) int32 — undo column sort
+        self.perm_plan = perm_plan      # (oidx, oh) for kernels/permute.py
         self.shape = shape
         self.nnz = nnz
         self.widths = widths            # static: bucket widths, parallel list
 
     def tree_flatten(self):
-        leaves = ([(b["idx"], b["vals"]) for b in self.buckets], self.inv_perm)
+        leaves = ([(b["idx"], b["vals"]) for b in self.buckets],
+                  self.inv_perm, self.perm_plan)
         return leaves, (self.shape, self.nnz, self.widths)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        pairs, inv_perm = children
+        pairs, inv_perm, perm_plan = children
         buckets = [dict(idx=i, vals=v) for i, v in pairs]
-        return cls(buckets, inv_perm, *aux)
+        return cls(buckets, inv_perm, perm_plan, *aux)
 
     @classmethod
     def from_dense(cls, a: np.ndarray) -> "BinnedSellMatrix":
@@ -105,7 +107,11 @@ class BinnedSellMatrix:
         inv_perm = np.empty(np_, dtype=np.int32)
         inv_perm[final_perm] = np.arange(np_, dtype=np.int32)
         nnz = int((a != 0).sum())
-        return cls(buckets, inv_perm[:n], (m, n), nnz, tuple(widths))
+        from tpusparse.kernels.permute import permute_plan
+
+        pp = permute_plan(inv_perm)
+        return cls(buckets, inv_perm[:n], (pp["oidx"], pp["oh"]), (m, n),
+                   nnz, tuple(widths))
 
     def device_bytes(self) -> int:
         total = 0
@@ -142,12 +148,13 @@ class BinnedSellMatrix:
             out = sell_spmm_padded(b["idx"], vals, xp, w=w)
             parts.append(out[::8])                 # (B, nb_k*128)
         y_sorted = jnp.concatenate(parts, axis=1)
-        # NOTE: this 4096-lane gather costs ~20 us on TPU (near-serial per
-        # index) — roughly a third of the whole powerlaw SpMV. Coarsening
-        # the sort to 8-column bundles makes the gather free but inflates
-        # the light bucket's width ~2.5x (a heavy column drags 7 neighbors
-        # with it), which costs more than it saves. Measured in BENCH.md.
-        return jnp.take(y_sorted, self.inv_perm, axis=1)
+        # a 4096-lane jnp.take costs ~20-35 us on TPU (near-serial per
+        # index); the static-permutation Pallas kernel (in-VREG lane
+        # shuffles + precomputed one-hot source-group masks) does the same
+        # unpermute in a few us — see kernels/permute.py
+        from tpusparse.kernels.permute import apply_permutation
+
+        return apply_permutation(y_sorted, self.perm_plan, self.shape[1])
 
     def spmv(self, x: Any) -> jax.Array:
         return self._run(jnp.asarray(x)[None, :])[0]
