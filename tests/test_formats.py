@@ -113,20 +113,32 @@ def test_bsr_from_blocks():
     assert (d[:, 0:128] == 0).all()
 
 
-@pytest.mark.parametrize("kind", ["sell", "bell", "bsr"])
+@pytest.mark.parametrize("kind", ["sell", "bell", "bsr", "awsp", "binned",
+                                  "asp"])
 def test_format_save_load(tmp_path, dense, kind):
     from tpusparse.formats import io
+    from tpusparse.formats.awsp import AwspMatrix
     from tpusparse.formats.bell import BellMatrix
+    from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
     from tpusparse.formats.sell import SellMatrix
+    from tpusparse.kernels.asp_spmv import AspMatrix
 
     fmt = {"sell": lambda: SellMatrix.from_dense(dense),
            "bell": lambda: BellMatrix.from_dense(dense, block_m=128),
-           "bsr": lambda: BsrMatrix.from_dense(dense, block_m=128)}[kind]()
+           "bsr": lambda: BsrMatrix.from_dense(dense, block_m=128),
+           "awsp": lambda: AwspMatrix.from_dense(dense, g=2),
+           "binned": lambda: BinnedSellMatrix.from_dense(dense),
+           "asp": lambda: AspMatrix.from_dense(dense, block_n=128)}[kind]()
     p = str(tmp_path / f"{kind}.npz")
     io.save(p, fmt)
     fmt2 = io.load(p)
     np.testing.assert_array_equal(fmt2.to_dense(), dense)
+    x = generators.random_sparse_vector(dense.shape[0], density=0.5, seed=9)
+    from tests.conftest import assert_close
+    from tpusparse.testing import reference as _ref
+    assert_close(fmt2.spmv(x), _ref.sgemv_cpu(x, dense),
+                 name=f"loaded-{kind}")
 
 
 def test_sell_from_csr_matches_from_dense():

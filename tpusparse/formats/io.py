@@ -7,50 +7,52 @@ conversion (not the kernel) dominates end-to-end time for one-shot use.
 
 from __future__ import annotations
 
+import ast
+
 import numpy as np
 
+from tpusparse.formats.awsp import AwspMatrix
 from tpusparse.formats.bell import BellMatrix
+from tpusparse.formats.binned import BinnedSellMatrix
 from tpusparse.formats.bsr import BsrMatrix
 from tpusparse.formats.sell import SellMatrix
+from tpusparse.kernels.asp_spmv import AspMatrix
 
-_KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix}
+_KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix,
+          "awsp": AwspMatrix, "binned": BinnedSellMatrix, "asp": AspMatrix}
 
 
 def save(path: str, fmt) -> None:
+    """Persist any packed format. Leaves go as npz arrays; the static aux
+    config (ints/tuples only) as a literal-parseable string."""
     import jax
 
     kind = next((k for k, cls in _KINDS.items() if isinstance(fmt, cls)), None)
     if kind is None:
         raise TypeError(f"unsupported format {type(fmt).__name__}")
-    leaves, treedef = jax.tree_util.tree_flatten(fmt)
+    leaves, _ = jax.tree_util.tree_flatten(fmt)
     arrays = {f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)}
-    if kind == "sell":
-        meta = dict(shape=fmt.shape, padded=fmt.padded, w=fmt.w, nnz=fmt.nnz)
-    elif kind == "bell":
-        meta = dict(shape=fmt.shape, padded=fmt.padded, block_m=fmt.block_m,
-                    w=fmt.w, nnz=fmt.nnz)
-    else:
-        meta = dict(shape=fmt.shape, padded=fmt.padded, block_m=fmt.block_m,
-                    nnz=fmt.nnz)
+    _, aux = fmt.tree_flatten()
     np.savez_compressed(path, kind=kind,
-                        meta=np.asarray(repr(meta)), **arrays)
+                        meta=np.asarray(repr(tuple(aux))), **arrays)
 
 
 def load(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["kind"])
-    meta = eval(str(z["meta"]))  # repr of a dict of ints/tuples only
+    aux = ast.literal_eval(str(z["meta"]))    # ints/tuples only
     leaves = [z[f"leaf{i}"] for i in range(sum(1 for k in z.files
                                                if k.startswith("leaf")))]
-    if kind == "sell":
-        return SellMatrix(leaves[0], leaves[1], tuple(meta["shape"]),
-                          tuple(meta["padded"]), meta["w"], meta["nnz"])
-    if kind == "bell":
-        return BellMatrix(leaves[0], leaves[1], tuple(meta["shape"]),
-                          tuple(meta["padded"]), meta["block_m"], meta["w"],
-                          meta["nnz"])
-    if kind == "bsr":
-        return BsrMatrix(leaves[0], leaves[1], leaves[2],
-                         tuple(meta["shape"]), tuple(meta["padded"]),
-                         meta["block_m"], meta["nnz"])
-    raise ValueError(f"unknown kind {kind!r} in {path}")
+    cls = _KINDS.get(kind)
+    if cls is None:
+        raise ValueError(f"unknown kind {kind!r} in {path}")
+    if kind == "binned":
+        widths = aux[-1]
+        nb = len(widths)
+        pairs = [(leaves[2 * i], leaves[2 * i + 1]) for i in range(nb)]
+        inv_perm = leaves[2 * nb]
+        perm_plan = (leaves[2 * nb + 1], leaves[2 * nb + 2])
+        return cls.tree_unflatten(aux, (pairs, inv_perm, perm_plan))
+    if kind == "asp":
+        return cls.tree_unflatten(aux, (leaves[0],))
+    return cls.tree_unflatten(aux, tuple(leaves))
