@@ -13,8 +13,6 @@ from __future__ import annotations
 
 import sys
 
-import numpy as np
-
 import jax
 
 from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes, roofline_fraction

@@ -4,8 +4,6 @@ from __future__ import annotations
 
 from typing import Any
 
-import numpy as np
-
 from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes, roofline_fraction
 from tpusparse.bench.runner import BenchResult, device_time
 from tpusparse.config import SpmvConfig

@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from tpusparse.kernels.precision import dot3
-from tpusparse.utils import cdiv, default_interpret, round_up
+from tpusparse.utils import default_interpret, round_up
 
 _LANES = 128
 

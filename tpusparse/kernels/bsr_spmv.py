@@ -122,8 +122,6 @@ def bsr_spmm_padded(
         )
         kernel = functools.partial(_bsr_kernel_wide, kb=kb, block_m=block_m)
         operands = (bi, bj, blocks, xt)
-        out_shape = jax.ShapeDtypeStruct((b, n_padded), blocks.dtype)
-        grid_len = nblk // kb
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -139,13 +137,10 @@ def bsr_spmm_padded(
         )
         kernel = _bsr_kernel_scan
         operands = (bi, bj, blocks, x)
-        out_shape = jax.ShapeDtypeStruct((b, n_padded), blocks.dtype)
-        grid_len = nblk
-    del grid_len
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((b, n_padded), blocks.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

@@ -19,7 +19,6 @@ BSR shards by output groups with per-device block counts padded to the max
 
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import numpy as np
@@ -34,9 +33,8 @@ try:
 except ImportError:  # pragma: no cover
     from jax.experimental.shard_map import shard_map as _shard_map
 
-from tpusparse.formats.bsr import BsrMatrix, bsr_pack
+from tpusparse.formats.bsr import bsr_pack
 from tpusparse.formats.sell import SellMatrix
-from tpusparse.utils import cdiv
 
 _LANES = 128
 _SUB = 8
