@@ -39,3 +39,14 @@ def test_slab_divisibility_error():
     with pytest.raises(ValueError):
         launch.process_slab(100, 100, partition="n",
                             process_index=0, process_count=3)
+
+
+def test_initialize_late_multihost_raises():
+    """Explicit multi-host args after backend init must fail loudly, not
+    silently degrade every host to single-process."""
+    import jax
+
+    jax.devices()                    # ensure backend is up
+    with pytest.raises(RuntimeError, match="before any JAX"):
+        launch.initialize(coordinator_address="127.0.0.1:9999",
+                          num_processes=2, process_id=0)

@@ -140,8 +140,7 @@ def _structured(out):
     x[1024:] = 0
     nnz = int((a != 0).sum())
     rows = []
-    fmt = jnp_a = a
-    r = device_time(lambda f, xx: dense_xla(f, xx), jnp_a, x,
+    r = device_time(lambda f, xx: dense_xla(f, xx), a, x,
                     name="dense_xla", bytes_moved=a.nbytes, nnz=nnz)
     base = r.seconds
     rows.append(("dense_xla", r, a.nbytes))

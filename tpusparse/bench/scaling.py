@@ -7,23 +7,30 @@ host it runs on however many devices exist (the test env forces an 8-device
 virtual CPU mesh, which validates the sharded program end-to-end and gives a
 logical scaling curve — real ICI numbers require real chips).
 
-Definitions (D = device count, T_D = per-call wall time on D devices):
-- weak scaling: per-device work held constant (N grows with D);
-  efficiency_D = T_1 / T_D       (ideal: 1.0 — same time, D x the work)
+Timing goes through the slope-method runner (bench/runner.py) like every
+other perf number in this repo: operands are pre-placed with the partition's
+NamedSharding so the timed region contains no resharding, and iterations are
+chained inside one jit so tunnel RTT cancels.
+
+Definitions (D = device count, T_D = per-call device time on D devices,
+D0 = the first measured device count):
+- weak scaling: per-device work held constant (the sharded dim grows with
+  D); efficiency_D = T_D0 / T_D          (ideal: 1.0)
 - strong scaling: total work held constant;
-  efficiency_D = T_1 / (D * T_D) (ideal: 1.0 — D x the speedup)
+  efficiency_D = (D0 * T_D0) / (D * T_D) (ideal: 1.0)
 """
 
 from __future__ import annotations
 
 import dataclasses
-import time
-from typing import Any, Callable
+from typing import Any
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
+from tpusparse.bench.runner import device_time
 from tpusparse.parallel import make_mesh
 from tpusparse.testing import generators
 
@@ -43,37 +50,37 @@ class ScalePoint:
                 f"{self.seconds * 1e6:.0f} us{eff}")
 
 
-def _time_sharded(build: Callable[[], Any], reps: int = 5,
-                  inner: int = 8) -> float:
-    """Median wall time of ``inner`` chained calls of a sharded product."""
-    fn = build()
-    fn()  # compile
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for _ in range(inner):
-            y = fn()
-        jax.block_until_ready(y)
-        # fetching a scalar is the only reliable sync over the axon tunnel
-        float(jnp.sum(y))
-        ts.append((time.perf_counter() - t0) / inner)
-    return float(np.median(ts))
+def _placed(mesh, spec, value):
+    return jax.device_put(jnp.asarray(value), NamedSharding(mesh, spec))
 
 
-def _make_runner(a: np.ndarray, x: np.ndarray, devices, partition: str,
-                 kernel: str):
-    mesh = make_mesh({"n": len(devices)}, devices)
-
+def _prepare(a: np.ndarray, x: np.ndarray, mesh, partition: str,
+             kernel: str):
+    """(fmt, x_placed, fn, bytes) with operands pre-placed per partition."""
     if kernel == "sell":
         from tpusparse.formats.sell import SellMatrix
         from tpusparse.parallel.sparse import sell_spmm_sharded
 
         s = SellMatrix.from_dense(a)
-        return lambda: sell_spmm_sharded(s, x, mesh, partition)
+        leaf_spec = {"n": P("n"), "m": P(None, "n"),
+                     "ring": P("n")}[partition]
+        x_spec = {"n": P(), "m": P("n"), "ring": P("n")}[partition]
+        fmt = SellMatrix(_placed(mesh, leaf_spec, s.idx),
+                         _placed(mesh, leaf_spec, s.vals),
+                         s.shape, s.padded, s.w, s.nnz)
+        fn = lambda f, xx: sell_spmm_sharded(f, xx, mesh, partition)  # noqa: E731
+        nbytes = s.device_bytes()
+    else:
+        from tpusparse.parallel import spmv_sharded
 
-    from tpusparse.parallel import spmv_sharded
-
-    return lambda: spmv_sharded(a, x, mesh=mesh, partition=partition)
+        a_spec = {"n": P(None, "n"), "m": P("n", None),
+                  "ring": P(None, "n")}[partition]
+        x_spec = {"n": P(), "m": P("n"), "ring": P("n")}[partition]
+        fmt = _placed(mesh, a_spec, a)
+        fn = lambda f, xx: spmv_sharded(f, xx, mesh=mesh, partition=partition)  # noqa: E731
+        nbytes = a.nbytes
+    xp = _placed(mesh, x_spec, x)
+    return fmt, xp, fn, nbytes
 
 
 def sweep_scaling(
@@ -88,9 +95,17 @@ def sweep_scaling(
     seed: int = 0,
     verbose: bool = True,
     reps: int = 5,
-    inner: int = 8,
+    k1: int | None = None,
+    k2: int | None = None,
 ) -> list[ScalePoint]:
     all_devices = jax.devices()
+    if k1 is None or k2 is None:
+        # CPU (interpret-mode kernels, heavy shard_map compiles): short
+        # chains; real chips: long chains so the slope dominates the ~30 ms
+        # tunnel RTT jitter (see bench/runner.py)
+        cpu = all_devices[0].platform == "cpu"
+        k1 = (4 if cpu else 16) if k1 is None else k1
+        k2 = (20 if cpu else 272) if k2 is None else k2
     if device_counts is None:
         device_counts = tuple(
             d for d in (1, 2, 4, 8, 16, 32) if d <= len(all_devices))
@@ -104,14 +119,15 @@ def sweep_scaling(
             m, n = base_m, base_n
         a = generators.random_sparse_matrix(m, n, density=density, seed=seed)
         x = generators.random_sparse_vector(m, density=density, seed=seed)
-        sec = _time_sharded(
-            lambda: _make_runner(a, x, all_devices[:d], partition, kernel),
-            reps=reps, inner=inner)
-        points.append(ScalePoint(devices=d, m=m, n=n, seconds=sec))
-    t1 = points[0].seconds
+        mesh = make_mesh({"n": d}, all_devices[:d])
+        fmt, xp, fn, nbytes = _prepare(a, x, mesh, partition, kernel)
+        r = device_time(fn, fmt, xp, name=f"D={d}", bytes_moved=nbytes,
+                        reps=reps, k1=k1, k2=k2)
+        points.append(ScalePoint(devices=d, m=m, n=n, seconds=r.seconds))
+    d0, t0 = points[0].devices, points[0].seconds
     for p in points:
-        p.efficiency = t1 / p.seconds if mode == "weak" \
-            else t1 / (p.devices * p.seconds)
+        p.efficiency = t0 / p.seconds if mode == "weak" \
+            else (d0 * t0) / (p.devices * p.seconds)
     if verbose:
         for p in points:
             print(f"[{mode}/{kernel}/{partition}] {p}")

@@ -121,10 +121,16 @@ def cmd_profile(args) -> int:
 
 
 def cmd_report(args) -> int:
-    """Full measured benchmark report (markdown, stdout) -> BENCH.md."""
+    """Measured benchmark report (markdown, stdout) -> BENCH.md.
+
+    The report's workload matrix is fixed by design (the reference's
+    canonical config plus the showcase matrices); use ``bench`` for custom
+    workloads. ``--sections`` splits long runs across timeouts.
+    """
     from tpusparse.bench.report import main as report_main
 
-    report_main()
+    sections = set(args.sections.split(",")) if args.sections else None
+    report_main(sections=sections)
     return 0
 
 
@@ -150,6 +156,15 @@ def main(argv=None) -> int:
                      ("headline", cmd_headline), ("profile", cmd_profile),
                      ("scaling", cmd_scaling), ("report", cmd_report)]:
         p = sub.add_parser(name)
+        if name == "report":
+            # the report's workload matrix is fixed; only expose the knobs
+            # that actually apply
+            p.add_argument("--sections", default=None,
+                           help="comma list: canonical,powerlaw,lowdensity,"
+                                "structured,spmm (default all)")
+            p.add_argument("--cpu", action="store_true")
+            p.set_defaults(fn=fn)
+            continue
         _add_workload_args(p)
         if name == "profile":
             p.add_argument("--trace-dir", default="/tmp/tpusparse-trace")

@@ -126,8 +126,9 @@ class AspMatrix:
         active = np.nonzero(xw.reshape(nt, _LANES).any(axis=1))[0]
         if active.size == 0:
             active = np.array([nt])                     # only the zero window
-        pad = round_up(active.size, 1) - active.size
-        return np.concatenate([active, np.full(pad, nt)]).astype(np.int32)
+        # exact-sized on purpose: a padded entry pointing at the zero window
+        # would be re-DMAed every step (see formats/awsp.py plan())
+        return active.astype(np.int32)
 
     def _full_plan(self) -> np.ndarray:
         """Every window — the degenerate plan used under jit tracing."""

@@ -20,17 +20,38 @@ def initialize(coordinator_address: str | None = None,
                num_processes: int | None = None,
                process_id: int | None = None) -> None:
     """Idempotent ``jax.distributed.initialize`` (env-driven when args are
-    None — TPU pod slices autodetect all three from the metadata server)."""
-    if jax.process_count() > 1:      # already initialized
+    None — TPU pod slices autodetect all three from the metadata server).
+
+    MUST run before anything touches devices: even ``jax.process_count()``
+    initializes the XLA backend, after which distributed init raises. The
+    idempotency check therefore inspects the distributed client directly
+    instead of calling any device API, and a too-late call is surfaced as
+    an error rather than silently degrading every host to single-process.
+    """
+    from jax._src import distributed as _dist
+
+    if _dist.global_state.client is not None:     # already initialized
         return
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    except (RuntimeError, ValueError):
-        # single-process run (no coordinator configured) — nothing to do;
-        # jax.distributed.initialize also raises if called twice
+    except ValueError:
+        # no coordinator configured anywhere -> single-process run
         pass
+    except RuntimeError as e:
+        import os
+
+        wants_multi = any(v is not None for v in (
+            coordinator_address, num_processes, process_id)) or \
+            os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS")
+        if wants_multi:
+            raise RuntimeError(
+                "tpusparse.parallel.initialize() must be called before any "
+                "JAX device/backend use (it cannot initialize multi-host "
+                "after the XLA backend has started)") from e
+        # single-process with the backend already up — harmless
 
 
 def global_mesh(axis_name: str = "n"):

@@ -157,7 +157,6 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
     x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
     if plan is None:
         plan = w.plan(np.asarray(x2d))
-    mp, _ = w.padded
     rows_tot = w.vals.shape[1] * _LANES
     xp = jnp.pad(x2d, ((0, 0), (0, rows_tot - x2d.shape[1])))
 
