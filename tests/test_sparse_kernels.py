@@ -167,3 +167,14 @@ def test_asp_window_skip():
     assert np.abs(np.asarray(m.spmv(np.zeros(512, np.float32)))).max() == 0
     xb = generators.random_sparse_batch(3, 512, density=0.5, seed=4)
     assert_close(m.spmm(xb), reference.sgemm_cpu(xb, a), name="asp_spmm")
+
+
+def test_sell_bf16_storage(workload):
+    """Reduced-precision value storage (serving): looser tolerance."""
+    import jax.numpy as jnp
+    from tpusparse.formats.sell import SellMatrix
+
+    a, x, y_ref = workload
+    s = SellMatrix.from_dense(a, dtype=jnp.bfloat16)
+    assert np.dtype(s.vals.dtype).itemsize == 2
+    assert_close(s.spmv(x), y_ref, atol=5e-2, name="sell_bf16")

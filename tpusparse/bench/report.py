@@ -74,6 +74,8 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
         _structured(out)
     if on("spmm"):
         _spmm(out)
+    if on("reduced"):
+        _reduced(out)
 
 
 def _header(dev, hbm, out):
@@ -164,6 +166,44 @@ def _structured(out):
           "the active subset); nnz/s counts all of A's nonzeros, so it "
           "exceeds the roofline on purpose — the skipped ones are free.\n",
           file=out)
+
+
+def _reduced(out):
+    """bf16 value storage: a serving-grade speed/accuracy trade."""
+    print("## Reduced precision: SELL with bf16 value storage "
+          "(M=N=4096, uniform d=0.5)\n", file=out)
+    print("reduced precision", file=sys.stderr)
+    import jax.numpy as jnp
+
+    from tpusparse.bench.roofline import format_bytes as _fb
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.testing import reference
+
+    a = generators.random_sparse_matrix(4096, 4096, density=0.5, seed=0)
+    x = generators.random_sparse_vector(4096, density=0.5, seed=0)
+    nnz = int((a != 0).sum())
+    y_ref = reference.sgemv_cpu(x, a)
+    print(_HDR, file=out)
+    rows = []
+    for dt in (None, jnp.bfloat16):
+        s = SellMatrix.from_dense(a, dtype=dt)
+        import numpy as _np
+
+        err = float(_np.abs(_np.asarray(s.spmv(x)) - y_ref).max())
+        r = device_time(lambda f, xx: f.spmv(xx), s, x,
+                        name=f"sell[{_np.dtype(s.vals.dtype).name}]",
+                        bytes_moved=format_bytes(s), nnz=nnz)
+        rows.append((r, err))
+        print(f"  .. {r}", file=sys.stderr)
+    base = rows[0][0].seconds
+    for r, err in rows:
+        sp = f" ({base / r.seconds:.2f}x fp32)" if r is not rows[0][0] else ""
+        print(_row(r.name + sp, r, r.bytes_moved) +
+              f" max|err| {err:.1e} |", file=out)
+    print("\nbf16 quantizes stored values only (fp32 accumulation); abs "
+          "error ~= 4e-3 x sqrt(column nnz) x E|v*x| — outside the 1e-3 "
+          "fp32 contract, opt-in for serving via "
+          "`SellMatrix.from_dense(a, dtype=jnp.bfloat16)`.\n", file=out)
 
 
 def _spmm(out):

@@ -22,8 +22,18 @@ _SUB = 8
 
 
 def sell_pack(a: np.ndarray, w: int | None = None,
-              use_native: bool | None = None) -> dict[str, Any]:
+              use_native: bool | None = None,
+              dtype: Any = None) -> dict[str, Any]:
+    """``dtype``: storage dtype for the values (default: keep ``a``'s).
+    ``ml_dtypes.bfloat16`` halves value bytes for serving workloads that
+    tolerate bf16 value quantization: abs error ~= 4e-3 x sqrt(column nnz)
+    x E|v*x| (~6e-2 on the canonical 4096/0.5 workload; accumulation stays
+    fp32 in the kernel; see BENCH.md 'reduced precision')."""
     a = np.asarray(a)
+    if dtype is not None and np.dtype(dtype) != a.dtype:
+        p = sell_pack(a, w=w, use_native=use_native)
+        p["vals"] = p["vals"].astype(dtype)
+        return p
     m, n = a.shape
     mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
     if (mp, np_) != (m, n):
@@ -127,8 +137,9 @@ class SellMatrix:
         return cls(*children, *aux)
 
     @classmethod
-    def from_dense(cls, a: np.ndarray, w: int | None = None) -> "SellMatrix":
-        return cls(**sell_pack(a, w=w))
+    def from_dense(cls, a: np.ndarray, w: int | None = None,
+                   dtype: Any = None) -> "SellMatrix":
+        return cls(**sell_pack(a, w=w, dtype=dtype))
 
     @classmethod
     def from_csr(cls, csr, w: int | None = None) -> "SellMatrix":

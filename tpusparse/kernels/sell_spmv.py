@@ -51,7 +51,8 @@ def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
             acc = jnp.zeros((_SUB, _LANES), jnp.float32)
             for t in range(tw):                           # windows per step
                 idx = idx_ref[jj, t].astype(jnp.int32)    # (W, 128)
-                vals = val_ref[jj, t]                     # (W, 128)
+                # bf16 storage dtypes widen here; accumulation stays fp32
+                vals = val_ref[jj, t].astype(jnp.float32)  # (W, 128)
                 xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
                 xg = jnp.take_along_axis(
                     jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
@@ -98,7 +99,7 @@ def sell_spmm_padded(
             pl.BlockSpec((b, tw * _LANES), lambda j, t: (0, t)),
         ],
         out_specs=pl.BlockSpec((b * _SUB, jb * _LANES), lambda j, t: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
