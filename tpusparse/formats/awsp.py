@@ -59,8 +59,12 @@ class AwspMatrix:
 
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None,
-                   g: int = 8) -> "AwspMatrix":
-        return cls._from_pack(sell_pack(a, w=w), g)
+                   g: int = 8, dtype: Any = None) -> "AwspMatrix":
+        """``g``: windows per skippable group (skip granularity g*128 rows).
+        g=8 balances skip resolution vs per-step overhead; g=16 measures
+        ~8% faster on dense plans but halves the skip resolution. ``dtype``:
+        bf16 value storage, same trade as SellMatrix.from_dense."""
+        return cls._from_pack(sell_pack(a, w=w, dtype=dtype), g)
 
     @classmethod
     def from_csr(cls, csr, w: int | None = None, g: int = 8) -> "AwspMatrix":

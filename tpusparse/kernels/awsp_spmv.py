@@ -61,7 +61,8 @@ def _awsp_kernel(win_ref, idx_ref, val_ref, x_ref, o_ref, *, w: int,
             acc = jnp.zeros((_SUB, _LANES), jnp.float32)
             for t in range(g):               # windows per skippable group
                 idx = idx_ref[jj, t].astype(jnp.int32)        # (W, 128)
-                vals = val_ref[jj, t]                         # (W, 128)
+                # bf16 storage widens here; accumulation stays fp32
+                vals = val_ref[jj, t].astype(jnp.float32)     # (W, 128)
                 xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
                 xg = jnp.take_along_axis(
                     jnp.broadcast_to(xw, (w, _LANES)), idx, axis=1)
@@ -105,7 +106,7 @@ def awsp_spmm_padded(
     return pl.pallas_call(
         functools.partial(_awsp_kernel, w=w, batch=b, g=g, jb=jb),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), vals.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
