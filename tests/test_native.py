@@ -56,3 +56,20 @@ def test_native_speedup_smoke():
     t_np = time.perf_counter() - t0
     np.testing.assert_array_equal(nat["vals"], ref["vals"])
     print(f"native {t_nat*1e3:.0f}ms vs numpy {t_np*1e3:.0f}ms")
+
+
+def test_sell_fill_csr_matches_numpy():
+    from tpusparse import native
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.sell import sell_pack_csr
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    a = generators.random_sparse_matrix(640, 384, density=0.25, seed=61,
+                                        distribution="powerlaw")
+    csr = CsrMatrix.from_dense(a)
+    p_native = sell_pack_csr(csr, use_native=True)
+    p_numpy = sell_pack_csr(csr, use_native=False)
+    assert p_native["w"] == p_numpy["w"]
+    np.testing.assert_array_equal(p_native["vals"], p_numpy["vals"])
+    np.testing.assert_array_equal(p_native["idx"], p_numpy["idx"])

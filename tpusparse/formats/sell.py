@@ -78,7 +78,8 @@ def sell_pack(a: np.ndarray, w: int | None = None,
                 w=w, nnz=int(mask.sum()))
 
 
-def sell_pack_csr(csr, w: int | None = None) -> dict[str, Any]:
+def sell_pack_csr(csr, w: int | None = None,
+                  use_native: bool | None = None) -> dict[str, Any]:
     """Pack straight from a ``CsrMatrix`` (CSR of A.T) without ever
     materializing dense A — the ingestion path for matrices too sparse/large
     to round-trip through a dense array (a 100k x 100k d=0.01 matrix is
@@ -86,6 +87,19 @@ def sell_pack_csr(csr, w: int | None = None) -> dict[str, Any]:
     m, n = csr.shape
     mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
     nt, nb = mp // _LANES, np_ // _LANES
+
+    if use_native is not False and csr.values.dtype == np.float32:
+        from tpusparse import native
+
+        if native.available():
+            packed = native.sell_fill_csr(csr.row_ptr, csr.col_idx,
+                                          csr.values, n, nt, w)
+            if packed is not None:
+                vals, idx, w_out = packed
+                return dict(idx=idx, vals=vals, shape=(m, n),
+                            padded=(mp, np_), w=w_out, nnz=int(csr.nnz))
+        if use_native:
+            raise RuntimeError("native converters requested but unavailable")
 
     row_nnz = csr.row_nnz
     c = np.repeat(np.arange(n, dtype=np.int64), row_nnz)   # output column

@@ -69,6 +69,9 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.csr_fill.restype = None
     lib.bell_bitmap.argtypes = [fp, i64, i64, i64, u32p]
     lib.bell_bitmap.restype = None
+    lib.sell_fill_csr.argtypes = [i32p, i32p, fp, i64, i64, i64,
+                                  ctypes.c_void_p, ctypes.c_void_p]
+    lib.sell_fill_csr.restype = i32
 
 
 def available() -> bool:
@@ -114,6 +117,31 @@ def csr_from_dense(a: np.ndarray):
     values = np.zeros(nnz, np.float32)
     lib.csr_fill(a, m, n, row_ptr, col_idx, values)
     return row_ptr, col_idx, values
+
+
+def sell_fill_csr(row_ptr: np.ndarray, col_idx: np.ndarray,
+                  values: np.ndarray, n: int, nt: int,
+                  w: int | None) -> tuple | None:
+    """(vals, idx, w) straight from CSR arrays, or None if unavailable.
+    With w=None, a first counting pass picks the width."""
+    lib = _lib()
+    if lib is None or values.dtype != np.float32:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    values = np.ascontiguousarray(values, np.float32)
+    if w is None:
+        mx = int(lib.sell_fill_csr(row_ptr, col_idx, values, n, nt, 0,
+                                   None, None))
+        w = max(((mx + 7) // 8) * 8, 8)
+    nb = -(-n // 128)
+    vals = np.zeros((nb, nt, w, 128), np.float32)
+    idx = np.zeros((nb, nt, w, 128), np.int8)
+    ret = int(lib.sell_fill_csr(row_ptr, col_idx, values, n, nt, w,
+                                vals.ctypes.data, idx.ctypes.data))
+    if ret < 0:
+        raise ValueError(f"w={w} overflowed during native sell_fill_csr")
+    return vals, idx, w
 
 
 def bell_bitmap(a: np.ndarray, block_m: int) -> np.ndarray | None:

@@ -113,6 +113,49 @@ void csr_fill(const float* a, int64_t m, int64_t n, const int32_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// SELL straight from CSR of A-transpose (formats/sell.py sell_pack_csr):
+// entries of output column c are sorted by m; rank resets per 128-row
+// window. Parallel over columns (each column owns disjoint (slot, r=c%128)
+// cells). Returns max window-column nnz seen, or -1 on overflow of w
+// (w <= 0 means "count only": vals/idx may be null).
+// ---------------------------------------------------------------------------
+
+int32_t sell_fill_csr(const int32_t* row_ptr, const int32_t* col_idx,
+                      const float* values, int64_t n, int64_t nt, int64_t w,
+                      float* vals, int8_t* idx) {
+  int32_t global_max = 0;
+  int32_t overflow = 0;
+#pragma omp parallel for reduction(max : global_max) reduction(| : overflow)
+  for (int64_t c = 0; c < n; ++c) {
+    const int64_t jb = c / kLanes;
+    const int64_t r = c % kLanes;
+    int64_t cur_t = -1;
+    int32_t slot = 0;
+    for (int32_t k = row_ptr[c]; k < row_ptr[c + 1]; ++k) {
+      const int64_t m = col_idx[k];
+      const int64_t t = m / kLanes;
+      if (t != cur_t) {
+        cur_t = t;
+        slot = 0;
+      }
+      if (slot + 1 > global_max) global_max = slot + 1;
+      if (w > 0) {
+        if (slot >= w) {
+          overflow = 1;
+          ++slot;
+          continue;
+        }
+        const int64_t base = ((jb * nt + t) * w + slot) * kLanes + r;
+        vals[base] = values[k];
+        idx[base] = static_cast<int8_t>(m % kLanes);
+      }
+      ++slot;
+    }
+  }
+  return overflow ? -1 : global_max;
+}
+
+// ---------------------------------------------------------------------------
 // BELL bitmap (formats/bell.py _mask_to_words): word l % nwords, bit
 // l // nwords, for the pltpu.repeat expansion order.
 //   bitmap[jb, i, r, wd] over blocks of (block_m x 128).
