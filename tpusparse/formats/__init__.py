@@ -1,3 +1,8 @@
 from tpusparse.formats.csr import CsrMatrix  # noqa: F401
 from tpusparse.formats.ell import EllMatrix  # noqa: F401
 from tpusparse.formats.bell import BellMatrix  # noqa: F401
+from tpusparse.formats.sell import SellMatrix  # noqa: F401
+from tpusparse.formats.awsp import AwspMatrix  # noqa: F401
+from tpusparse.formats.bsr import BsrMatrix  # noqa: F401
+from tpusparse.formats.binned import BinnedSellMatrix  # noqa: F401
+from tpusparse.formats.auto import auto_format, matrix_stats  # noqa: F401

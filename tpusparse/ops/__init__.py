@@ -21,11 +21,22 @@ def _is_dense(a: Any) -> bool:
     return isinstance(a, (np.ndarray, jnp.ndarray))
 
 
+def _check_compute_format(a: Any) -> None:
+    from tpusparse.formats.csr import CsrMatrix
+
+    if isinstance(a, CsrMatrix):
+        raise TypeError(
+            "CsrMatrix is an interchange format (raw row-pointer gathers "
+            "are shape-dynamic and uncompilable on TPU); pack it first, "
+            "e.g. SellMatrix.from_csr(csr) or auto_format(csr.to_dense())")
+
+
 def spmv(a: Any, x: Any) -> Any:
     """y = x @ a for a single vector x of shape (m,)."""
     x = jnp.asarray(x)
     if _is_dense(a):
         return dense_xla(jnp.asarray(a), x)
+    _check_compute_format(a)
     return a.spmv(x)
 
 
@@ -34,4 +45,5 @@ def spmm(a: Any, x: Any) -> Any:
     x = jnp.asarray(x)
     if _is_dense(a):
         return dense_xla(jnp.asarray(a), x)
+    _check_compute_format(a)
     return a.spmm(x)
