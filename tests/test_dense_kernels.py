@@ -62,3 +62,13 @@ def test_tester_catches_bad_kernel():
         pass
     else:
         raise AssertionError("tester.run should raise on mismatch")
+
+
+def test_dense_pallas_non_multiple_shapes():
+    """cdiv grids must zero-pad the tails, not read out of bounds."""
+    a = generators.random_sparse_matrix(768, 1000, density=0.5, seed=41)
+    x = generators.random_sparse_vector(768, density=0.5, seed=41)
+    from tpusparse.kernels.dense import dense_pallas
+
+    assert_close(dense_pallas(a, x), reference.sgemv_cpu(x, a),
+                 name="dense_pallas_768x1000")

@@ -187,3 +187,42 @@ def test_awsp_from_csr():
     w2 = AwspMatrix.from_csr(CsrMatrix.from_dense(a), g=2)
     np.testing.assert_array_equal(np.asarray(w1.vals), np.asarray(w2.vals))
     np.testing.assert_array_equal(w2.to_dense(), a)
+
+
+def test_csr_to_dense_sums_duplicates():
+    """Duplicates must sum on every route (kernels already sum)."""
+    c = CsrMatrix.from_coo(8, 8, rows=[0, 0, 5], cols=[3, 3, 7],
+                           values=np.array([1.0, 2.0, 4.0], np.float32))
+    assert c.to_dense()[0, 3] == 3.0
+    from tpusparse.formats.sell import SellMatrix
+
+    e0 = np.zeros(8, np.float32)
+    e0[0] = 1.0
+    y = np.asarray(SellMatrix.from_csr(c).spmv(e0))
+    assert y[3] == 3.0
+
+
+def test_sell_from_csr_unsorted_rows():
+    """Legal CSR does not guarantee sorted col_idx within a row."""
+    from tpusparse.formats.sell import SellMatrix
+
+    c = CsrMatrix(shape=(256, 2),
+                  row_ptr=np.array([0, 3, 3], np.int32),
+                  col_idx=np.array([5, 130, 7], np.int32),
+                  values=np.array([1.0, 2.0, 3.0], np.float32))
+    d = SellMatrix.from_csr(c).to_dense()
+    assert d[5, 0] == 1.0 and d[130, 0] == 2.0 and d[7, 0] == 3.0
+
+
+def test_load_leaf_count_guard(tmp_path):
+    from tpusparse.formats import io
+    from tpusparse.formats.sell import SellMatrix
+
+    a = generators.random_sparse_matrix(128, 128, density=0.3, seed=99)
+    p = str(tmp_path / "x.npz")
+    io.save(p, SellMatrix.from_dense(a))
+    z = dict(np.load(p, allow_pickle=False))
+    z["leaf2"] = np.zeros(3)                  # simulate layout drift
+    np.savez_compressed(p, **z)
+    with pytest.raises(ValueError, match="leaves"):
+        io.load(p)

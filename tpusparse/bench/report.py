@@ -54,7 +54,8 @@ def _bench_entries(a, x, entries, out):
 
 def main(out=sys.stdout, sections: set[str] | None = None) -> None:
     """sections: subset of {canonical, powerlaw, lowdensity, structured,
-    spmm} to run (None = all). Lets long runs be split across timeouts."""
+    spmm, reduced} to run (None = all). Lets long runs split across
+    timeouts."""
     def on(name):
         return sections is None or name in sections
 
@@ -224,6 +225,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--sections", default=None,
                    help="comma list: canonical,powerlaw,lowdensity,"
-                        "structured,spmm (default all)")
+                        "structured,spmm,reduced (default all)")
     args = p.parse_args()
     main(sections=set(args.sections.split(",")) if args.sections else None)

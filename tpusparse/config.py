@@ -28,8 +28,6 @@ class SpmvConfig:
 
     # format tuning knobs
     block_m: int = 512            # bitmap-ELL block along contraction dim
-    block_n: int = 128            # lane-aligned output tile
-    bsr_block: int = 128          # BSR square block edge
 
     def __post_init__(self):
         if self.m % 8 or self.n % 128:

@@ -88,7 +88,13 @@ def bell_pack(a: np.ndarray, block_m: int = 512,
     vals = np.zeros((nb, mb, _LANES, w), dtype=a.dtype)
     jj, ii, rr, _ = np.nonzero(mask)
     vals[jj, ii, rr, rank[mask]] = t[mask]
-    bitmap = _mask_to_words(mask, block_m)
+    bitmap = None
+    if a.dtype == np.float32:
+        from tpusparse import native
+
+        bitmap = native.bell_bitmap(a, block_m)   # C++ fast path (or None)
+    if bitmap is None:
+        bitmap = _mask_to_words(mask, block_m)
 
     return dict(bitmap=bitmap, vals=vals, shape=(m, n),
                 padded=(mp, np_), block_m=block_m, w=w,

@@ -34,20 +34,10 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
 
     tiles = a.reshape(mb, block_m, nb, _LANES).transpose(0, 2, 1, 3)
     nz = tiles.any(axis=(2, 3))                       # (mb, nb)
-    # sort by output group j (so accumulation runs are consecutive), then i
     ii, jj = np.nonzero(nz)
-    order = np.lexsort((ii, jj))
-    ii, jj = ii[order], jj[order]
-    # every output group needs at least one block (it zero-initializes the
-    # output tile); give empty groups one explicit zero block
-    missing = np.setdiff1d(np.arange(nb), jj)
-    if missing.size:
-        ii = np.concatenate([ii, np.zeros_like(missing)])
-        jj = np.concatenate([jj, missing])
-        order = np.lexsort((ii, jj))
-        ii, jj = ii[order], jj[order]
-    blocks = tiles[ii, jj]                            # (nblk, TBm, 128)
-    ii, jj, blocks = _pad_blocks(ii, jj, blocks, nb, block_m)
+    ii, jj, blocks = _canonicalize_blocks(
+        ii, jj, lambda order: tiles[ii[order], jj[order]], nb, block_m,
+        tiles.dtype)
 
     return dict(bi=ii.astype(np.int32), bj=jj.astype(np.int32),
                 blocks=np.ascontiguousarray(blocks), shape=(m, n),
@@ -55,17 +45,38 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
                 nnz=int((a != 0).sum()))
 
 
-def _pad_blocks(ii, jj, blocks, nb, block_m):
-    """Pad the block list to a multiple of 8 (the wide kernel's tiles/step)
-    with zero blocks at the LAST output group — keeping bj non-decreasing,
-    which the scan-fallback kernel's first-visit init relies on."""
-    pad = -len(jj) % 8
+def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
+    """Establish the block-list invariants both kernels rely on:
+
+    - sorted by (bj, bi): the scan kernel's first-visit init needs bj
+      non-decreasing, and consecutive same-bj steps keep the output tile
+      VMEM-resident;
+    - every output group has at least one block (it zero-initializes its
+      output tile in the scan path) — empty groups get an explicit zero
+      block;
+    - the list length is a multiple of 8 (the wide kernel's tiles/step),
+      padded with zero blocks at the LAST group so bj stays non-decreasing.
+
+    ``get_blocks(order) -> (nblk, TBm, 128)`` fetches the payload in the
+    given (bj, bi)-sorted permutation of the input coordinate lists.
+    """
+    order = np.lexsort((bi, bj))
+    blocks = get_blocks(order)
+    bi, bj = bi[order], bj[order]
+    missing = np.setdiff1d(np.arange(nb), bj)
+    if missing.size:
+        insert = np.searchsorted(bj, missing)
+        bi = np.insert(bi, insert, 0)
+        bj = np.insert(bj, insert, missing)
+        blocks = np.insert(
+            blocks, insert, np.zeros((block_m, _LANES), dtype), axis=0)
+    pad = -len(bj) % 8
     if pad:
-        ii = np.concatenate([ii, np.zeros(pad, ii.dtype)])
-        jj = np.concatenate([jj, np.full(pad, nb - 1, jj.dtype)])
+        bi = np.concatenate([bi, np.zeros(pad, bi.dtype)])
+        bj = np.concatenate([bj, np.full(pad, nb - 1, bj.dtype)])
         blocks = np.concatenate(
-            [blocks, np.zeros((pad,) + blocks.shape[1:], blocks.dtype)])
-    return ii, jj, blocks
+            [blocks, np.zeros((pad,) + blocks.shape[1:], dtype)])
+    return bi, bj, blocks
 
 
 @jax.tree_util.register_pytree_node_class
@@ -103,20 +114,12 @@ class BsrMatrix:
         if bn != _LANES:
             raise ValueError(f"block width must be {_LANES}, got {bn}")
         mp, np_ = round_up(m, block_m), round_up(n, _LANES)
-        order = np.lexsort((bi, bj))
-        bi, bj, blocks = bi[order], bj[order], blocks[order]
-        missing = np.setdiff1d(np.arange(np_ // _LANES), bj)
-        if missing.size:
-            bi = np.concatenate([bi, np.zeros_like(missing)])
-            bj = np.concatenate([bj, missing])
-            blocks = np.concatenate(
-                [blocks, np.zeros((missing.size, block_m, _LANES),
-                                  blocks.dtype)])
-            order = np.lexsort((bi, bj))
-            bi, bj, blocks = bi[order], bj[order], blocks[order]
         nnz = int((blocks != 0).sum())
-        bi, bj, blocks = _pad_blocks(bi, bj, blocks, np_ // _LANES, block_m)
-        return cls(bi=bi, bj=bj, blocks=np.ascontiguousarray(blocks),
+        bi, bj, blocks = _canonicalize_blocks(
+            bi, bj, lambda order: blocks[order],
+            np_ // _LANES, block_m, blocks.dtype)
+        return cls(bi=bi.astype(np.int32), bj=bj.astype(np.int32),
+                   blocks=np.ascontiguousarray(blocks),
                    shape=(m, n), padded=(mp, np_), block_m=block_m,
                    nnz=nnz)
 

@@ -83,7 +83,8 @@ class CsrMatrix:
         m, n = self.shape
         at = np.zeros((n, m), dtype=self.values.dtype)
         rows = np.repeat(np.arange(n), self.row_nnz)
-        at[rows, self.col_idx] = self.values
+        # duplicates sum (np.add.at), matching what every packed kernel does
+        np.add.at(at, (rows, self.col_idx), self.values)
         return at.T
 
     def save(self, path: str) -> None:

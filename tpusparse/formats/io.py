@@ -46,13 +46,27 @@ def load(path: str):
     cls = _KINDS.get(kind)
     if cls is None:
         raise ValueError(f"unknown kind {kind!r} in {path}")
+
+    def _expect(n_expected: int) -> None:
+        # the reconstruction below mirrors each class's tree_flatten leaf
+        # layout; if that layout ever changes, fail loudly instead of
+        # silently mis-pairing arrays from old/new files
+        if len(leaves) != n_expected:
+            raise ValueError(
+                f"{path}: {kind} file has {len(leaves)} leaves, expected "
+                f"{n_expected} — saved with an incompatible tpusparse "
+                f"version; re-pack from the source matrix")
+
     if kind == "binned":
         widths = aux[-1]
         nb = len(widths)
+        _expect(2 * nb + 3)
         pairs = [(leaves[2 * i], leaves[2 * i + 1]) for i in range(nb)]
         inv_perm = leaves[2 * nb]
         perm_plan = (leaves[2 * nb + 1], leaves[2 * nb + 2])
         return cls.tree_unflatten(aux, (pairs, inv_perm, perm_plan))
     if kind == "asp":
+        _expect(1)
         return cls.tree_unflatten(aux, (leaves[0],))
+    _expect(3 if kind == "bsr" else 2)
     return cls.tree_unflatten(aux, tuple(leaves))

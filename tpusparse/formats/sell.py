@@ -78,6 +78,22 @@ def sell_pack(a: np.ndarray, w: int | None = None,
                 w=w, nnz=int(mask.sum()))
 
 
+def _sorted_rows(csr):
+    """CSR with col_idx ascending within each row (legal CSR does not
+    guarantee it; the slot-ranking here and in the native packer does)."""
+    ci = np.asarray(csr.col_idx)
+    row_of = np.repeat(np.arange(len(csr.row_ptr) - 1, dtype=np.int64),
+                       csr.row_nnz)
+    if ci.size == 0 or bool(np.all((row_of[1:] > row_of[:-1])
+                                   | (ci[1:] > ci[:-1]))):
+        return csr
+    order = np.lexsort((ci, row_of))
+    from tpusparse.formats.csr import CsrMatrix
+
+    return CsrMatrix(shape=csr.shape, row_ptr=csr.row_ptr,
+                     col_idx=ci[order], values=np.asarray(csr.values)[order])
+
+
 def sell_pack_csr(csr, w: int | None = None,
                   use_native: bool | None = None) -> dict[str, Any]:
     """Pack straight from a ``CsrMatrix`` (CSR of A.T) without ever
@@ -87,6 +103,7 @@ def sell_pack_csr(csr, w: int | None = None,
     m, n = csr.shape
     mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
     nt, nb = mp // _LANES, np_ // _LANES
+    csr = _sorted_rows(csr)   # ranking assumes m ascending within each row
 
     if use_native is not False and csr.values.dtype == np.float32:
         from tpusparse import native

@@ -76,7 +76,14 @@ def dense_pallas(
     assert m == m2, (xb.shape, a.shape)
     block_m = min(block_m, m)
     block_n = min(block_n, n)
-    grid = (cdiv(n, block_n), cdiv(m, block_m))
+    # pad to block multiples: the grid uses cdiv, and unmasked tail blocks
+    # would read past the arrays (zero padding contributes exactly 0)
+    mp = cdiv(m, block_m) * block_m
+    np_ = cdiv(n, block_n) * block_n
+    if (mp, np_) != (m, n):
+        a = jnp.pad(a, ((0, mp - m), (0, np_ - n)))
+        xb = jnp.pad(xb, ((0, 0), (0, mp - m)))
+    grid = (np_ // block_n, mp // block_m)
 
     y = pl.pallas_call(
         _dense_kernel,
@@ -86,7 +93,7 @@ def dense_pallas(
             pl.BlockSpec((block_m, block_n), lambda j, k: (k, j)),
         ],
         out_specs=pl.BlockSpec((b, block_n), lambda j, k: (0, j)),
-        out_shape=jax.ShapeDtypeStruct((b, n), a.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, np_), a.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -97,4 +104,5 @@ def dense_pallas(
         ),
         interpret=interpret,
     )(xb, a)
+    y = y[:, :n]
     return y[0] if squeeze else y

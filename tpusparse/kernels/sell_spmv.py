@@ -83,12 +83,13 @@ def sell_spmm_padded(
         interpret = default_interpret()
     nb, nt = vals.shape[0], vals.shape[1]
     b = x.shape[0]
-    tw = windows_per_step
-    while nt % tw:       # nt is a power-of-two-ish padding count; degrade
-        tw //= 2
-    jb = col_groups_per_step
-    while nb % jb:
-        jb //= 2
+    # largest divisor <= the requested step sizes: halving could collapse an
+    # odd window count to 1 window/step, hitting the ~0.26 us/step DMA-issue
+    # overhead cliff (BENCH.md)
+    tw = max(d for d in range(min(windows_per_step, nt), 0, -1)
+             if nt % d == 0)
+    jb = max(d for d in range(min(col_groups_per_step, nb), 0, -1)
+             if nb % d == 0)
     grid = (nb // jb, nt // tw)
     out = pl.pallas_call(
         functools.partial(_sell_kernel, w=w, batch=b, tw=tw, jb=jb),

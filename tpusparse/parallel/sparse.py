@@ -111,7 +111,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                 return (y, lax.ppermute(xc, "n", perm))
 
             y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
-                           vals_loc.dtype)
+                           x_loc.dtype)   # kernel returns x's dtype
             y0 = lax.pcast(y0, "n", to="varying")
             y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
             return y[::_SUB]
