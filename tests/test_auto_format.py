@@ -62,3 +62,10 @@ def test_batched_mid_density_is_asp():
     xb = generators.random_sparse_batch(8, 512, density=0.5, seed=7)
     from tpusparse import spmm
     assert_close(spmm(f, xb), reference.sgemm_cpu(xb, a), name="auto_spmm")
+
+
+def test_batched_low_density_still_mxu_path():
+    """At B>=4 the gather floor loses at every density (BENCH.md)."""
+    a = generators.random_sparse_matrix(512, 384, density=0.1, seed=10)
+    f = auto_format(a, expect_batch=8)
+    assert type(f).__name__ in ("AspMatrix", "BsrMatrix")

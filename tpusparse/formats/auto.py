@@ -61,15 +61,19 @@ def auto_format(a: np.ndarray, *, expect_structured_x: bool = False,
 
     ``expect_batch``: anticipated SpMM batch size. Gather-based formats
     (SELL/AWSP) pay VPU gather work per (slot, batch) element, so at B >= 4
-    and moderate density the MXU-whole-tile paths win (measured: SELL SpMM
-    at B=8, d=0.5 is ~6x slower than dense; BENCH.md) — route to ASP
-    (dense tiles + activation window skip) instead.
+    the MXU-whole-tile paths win at EVERY density (measured: SELL SpMM at
+    B=8 is ~6x slower than dense at d=0.5 and still 1.7x slower at d=0.1;
+    BENCH.md) — route to BSR when the structure is blocky, else ASP (dense
+    tiles + activation window skip).
     """
     a = np.asarray(a)
     s = stats or matrix_stats(a)
 
-    if expect_batch >= 4 and s["density"] > 0.25 \
-            and s["empty_block_frac"] < 0.4:
+    if expect_batch >= 4:
+        if s["empty_block_frac"] >= 0.4:
+            from tpusparse.formats.bsr import BsrMatrix
+
+            return BsrMatrix.from_dense(a)
         from tpusparse.kernels.asp_spmv import AspMatrix
 
         return AspMatrix.from_dense(a)
