@@ -29,6 +29,9 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     """
     from tpusparse.kernels.dense import dense_pallas, dense_xla
 
+    def fmt_run(f, x):
+        return f.spmv(x) if x.ndim == 1 else f.spmm(x)
+
     entries = [
         dict(name="dense_xla", prepare=lambda a: a,
              run=lambda f, x: dense_xla(f, x)),
@@ -40,14 +43,14 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     entries.append(dict(
         name="sell_pallas",
         prepare=lambda a: SellMatrix.from_dense(a),
-        run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
+        run=fmt_run,
     ))
     from tpusparse.formats.awsp import AwspMatrix
 
     entries.append(dict(
         name="awsp_pallas",
         prepare=lambda a: AwspMatrix.from_dense(a),
-        run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x),
+        run=fmt_run,
     ))
     if not full:
         return entries
@@ -61,19 +64,19 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     entries += [
         dict(name="ell_xla",
              prepare=lambda a: EllMatrix.from_dense(a),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+             run=fmt_run),
         dict(name="bell_pallas",
              prepare=lambda a: BellMatrix.from_dense(a),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+             run=fmt_run),
         dict(name="sell_binned_pallas",
              prepare=lambda a: BinnedSellMatrix.from_dense(a),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+             run=fmt_run),
         dict(name="bsr_pallas",
              prepare=lambda a: BsrMatrix.from_dense(a, block_m=512),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+             run=fmt_run),
         dict(name="asp_pallas",
              prepare=lambda a: AspMatrix.from_dense(a),
-             run=lambda f, x: f.spmv(x) if x.ndim == 1 else f.spmm(x)),
+             run=fmt_run),
     ]
     return entries
 

@@ -40,6 +40,13 @@ _LANES = 128
 _SUB = 8
 
 
+def _as_2d(x: Any) -> tuple[jax.Array, bool]:
+    """(x2d, squeeze): promote (m,) activations to (1, m)."""
+    squeeze = np.ndim(x) == 1
+    xj = jnp.asarray(x)
+    return (xj[None, :] if squeeze else xj), squeeze
+
+
 # ----------------------------- SELL ---------------------------------------
 
 
@@ -52,8 +59,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
     """
     from tpusparse.kernels.sell_spmv import sell_spmm_padded
 
-    squeeze = np.ndim(x) == 1
-    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    x2d, squeeze = _as_2d(x)
     mp, np_ = s.padded
     if x2d.shape[1] != mp:
         x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
@@ -150,11 +156,9 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
     window groups of its own column slab, so traffic per chip is
     (active groups / groups) x (format bytes / D).
     """
-    from tpusparse.formats.awsp import AwspMatrix  # noqa: F401 (doc type)
     from tpusparse.kernels.awsp_spmv import awsp_spmm_padded
 
-    squeeze = np.ndim(x) == 1
-    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    x2d, squeeze = _as_2d(x)
     if plan is None:
         plan = w.plan(np.asarray(x2d))
     rows_tot = w.vals.shape[1] * _LANES
@@ -221,8 +225,7 @@ def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
     """Output-sharded BSR SpMV/SpMM from ``bsr_shard_pack`` output."""
     from tpusparse.kernels.bsr_spmv import bsr_spmm_padded
 
-    squeeze = np.ndim(x) == 1
-    x2d = jnp.asarray(x)[None, :] if squeeze else jnp.asarray(x)
+    x2d, squeeze = _as_2d(x)
     mp, np_ = packed["padded"]
     if x2d.shape[1] != mp:
         x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
