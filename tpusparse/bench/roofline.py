@@ -27,9 +27,10 @@ def detect_hbm_gbps() -> float:
 
     d = jax.devices()[0]
     kind = getattr(d, "device_kind", "").lower()
-    for key, bw in HBM_GBPS.items():
+    # longest key first: "tpu v5" must not shadow "tpu v5p" (2765 GB/s)
+    for key in sorted(HBM_GBPS, key=len, reverse=True):
         if key in kind:
-            return bw
+            return HBM_GBPS[key]
     if d.platform == "cpu":
         return HBM_GBPS["cpu"]
     return 819.0
