@@ -226,3 +226,21 @@ def test_load_leaf_count_guard(tmp_path):
     np.savez_compressed(p, **z)
     with pytest.raises(ValueError, match="leaves"):
         io.load(p)
+
+
+def test_save_load_bf16(tmp_path):
+    import jax.numpy as jnp
+
+    from tpusparse.formats import io
+    from tpusparse.formats.sell import SellMatrix
+    from tests.conftest import assert_close
+    from tpusparse.testing import reference as _ref
+
+    a = generators.random_sparse_matrix(256, 256, density=0.3, seed=98)
+    p = str(tmp_path / "bf16.npz")
+    io.save(p, SellMatrix.from_dense(a, dtype=jnp.bfloat16))
+    s2 = io.load(p)
+    assert str(np.asarray(s2.vals).dtype) == "bfloat16"
+    x = generators.random_sparse_vector(256, density=0.5, seed=98)
+    assert_close(s2.spmv(x), _ref.sgemv_cpu(x, a), atol=5e-2,
+                 name="loaded-bf16")

@@ -54,7 +54,7 @@ def _bench_entries(a, x, entries, out):
 
 def main(out=sys.stdout, sections: set[str] | None = None) -> None:
     """sections: subset of {canonical, powerlaw, lowdensity, structured,
-    spmm, reduced} to run (None = all). Lets long runs split across
+    spmm, reduced, crossover} to run (None = all). Lets long runs split across
     timeouts."""
     def on(name):
         return sections is None or name in sections
@@ -77,6 +77,8 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
         _spmm(out)
     if on("reduced"):
         _reduced(out)
+    if on("crossover"):
+        _crossover(out)
 
 
 def _header(dev, hbm, out):
@@ -176,7 +178,6 @@ def _reduced(out):
     print("reduced precision", file=sys.stderr)
     import jax.numpy as jnp
 
-    from tpusparse.bench.roofline import format_bytes as _fb
     from tpusparse.formats.sell import SellMatrix
     from tpusparse.testing import reference
 
@@ -184,7 +185,8 @@ def _reduced(out):
     x = generators.random_sparse_vector(4096, density=0.5, seed=0)
     nnz = int((a != 0).sum())
     y_ref = reference.sgemv_cpu(x, a)
-    print(_HDR, file=out)
+    print("| kernel | us | GB/s (own bytes) | % roofline | Gnnz/s | "
+          "max abs err |\n|---|---|---|---|---|---|", file=out)
     rows = []
     for dt in (None, jnp.bfloat16):
         s = SellMatrix.from_dense(a, dtype=dt)
@@ -200,11 +202,39 @@ def _reduced(out):
     for r, err in rows:
         sp = f" ({base / r.seconds:.2f}x fp32)" if r is not rows[0][0] else ""
         print(_row(r.name + sp, r, r.bytes_moved) +
-              f" max|err| {err:.1e} |", file=out)
+              f" {err:.1e} |", file=out)
     print("\nbf16 quantizes stored values only (fp32 accumulation); abs "
           "error ~= 4e-3 x sqrt(column nnz) x E|v*x| — outside the 1e-3 "
           "fp32 contract, opt-in for serving via "
           "`SellMatrix.from_dense(a, dtype=jnp.bfloat16)`.\n", file=out)
+
+
+def _crossover(out):
+    """SELL vs dense across densities — auto_format's 0.6 threshold."""
+    print("## Density crossover: SELL vs dense "
+          "(M=N=4096, uniform, fp32 SpMV)\n", file=out)
+    print("density crossover", file=sys.stderr)
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.kernels.dense import dense_xla
+
+    x = generators.random_sparse_vector(4096, density=0.5, seed=0)
+    print("| d(A) | dense_xla us | sell us | sell/dense |\n|---|---|---|---|",
+          file=out)
+    for d in (0.05, 0.1, 0.2, 0.35, 0.5, 0.7, 0.9):
+        a = generators.random_sparse_matrix(4096, 4096, density=d, seed=0)
+        rd = device_time(lambda f, xx: dense_xla(f, xx), a, x, name="dense",
+                         bytes_moved=a.nbytes)
+        sf = SellMatrix.from_dense(a)
+        rs = device_time(lambda f, xx: f.spmv(xx), sf, x, name="sell",
+                         bytes_moved=format_bytes(sf))
+        print(f"| {d} | {rd.seconds * 1e6:.1f} | {rs.seconds * 1e6:.1f} | "
+              f"{rd.seconds / rs.seconds:.2f}x |", file=out)
+        print(f"  .. d={d}: dense {rd.seconds*1e6:.1f} us, "
+              f"sell {rs.seconds*1e6:.1f} us", file=sys.stderr)
+    print("\nThe crossover sits at d ~= 0.55-0.6 — `auto_format`'s density "
+          "threshold (0.6) is this measurement. Above it SELL's 5 bytes/"
+          "slot (+ window-max padding) exceeds dense's 4 bytes/element.\n",
+          file=out)
 
 
 def _spmm(out):
@@ -225,6 +255,6 @@ if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--sections", default=None,
                    help="comma list: canonical,powerlaw,lowdensity,"
-                        "structured,spmm,reduced (default all)")
+                        "structured,spmm,reduced,crossover (default all)")
     args = p.parse_args()
     main(sections=set(args.sections.split(",")) if args.sections else None)

@@ -60,16 +60,18 @@ def auto_format(a: np.ndarray, *, expect_structured_x: bool = False,
     """Pack ``a`` into the format its statistics call for (see module doc).
 
     ``expect_batch``: anticipated SpMM batch size. Gather-based formats
-    (SELL/AWSP) pay VPU gather work per (slot, batch) element, so at B >= 4
-    the MXU-whole-tile paths win at EVERY density (measured: SELL SpMM at
-    B=8 is ~6x slower than dense at d=0.5 and still 1.7x slower at d=0.1;
-    BENCH.md) — route to BSR when the structure is blocky, else ASP (dense
+    (SELL/AWSP) pay VPU gather work per (slot, batch) element — a floor
+    proportional to density x batch — while dense-tile time is
+    density-independent. Measured at B=8: SELL loses 6x at d=0.5 and 1.7x
+    at d=0.1 (BENCH.md); extrapolating the linear floor, the crossover is
+    at density x batch ~= 0.4, below which SELL's byte advantage dominates
+    again. Route to BSR when the structure is blocky, else ASP (dense
     tiles + activation window skip).
     """
     a = np.asarray(a)
     s = stats or matrix_stats(a)
 
-    if expect_batch >= 4:
+    if expect_batch >= 4 and s["density"] * expect_batch >= 0.4:
         if s["empty_block_frac"] >= 0.4:
             from tpusparse.formats.bsr import BsrMatrix
 

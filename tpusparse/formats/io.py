@@ -24,25 +24,48 @@ _KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix,
 
 def save(path: str, fmt) -> None:
     """Persist any packed format. Leaves go as npz arrays; the static aux
-    config (ints/tuples only) as a literal-parseable string."""
+    config (ints/tuples only) as a literal-parseable string. Non-numpy
+    dtypes (bfloat16) are stored as raw uint16 with the dtype recorded —
+    npz would otherwise silently degrade them to void ('|V2') arrays."""
     import jax
 
     kind = next((k for k, cls in _KINDS.items() if isinstance(fmt, cls)), None)
     if kind is None:
         raise TypeError(f"unsupported format {type(fmt).__name__}")
     leaves, _ = jax.tree_util.tree_flatten(fmt)
-    arrays = {f"leaf{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    arrays, dtypes = {}, []
+    for i, l in enumerate(leaves):
+        arr = np.asarray(l)
+        dtypes.append(str(arr.dtype))
+        if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
+            arr = arr.view(np.uint16)
+        arrays[f"leaf{i}"] = arr
     _, aux = fmt.tree_flatten()
     np.savez_compressed(path, kind=kind,
-                        meta=np.asarray(repr(tuple(aux))), **arrays)
+                        meta=np.asarray(repr(tuple(aux))),
+                        leaf_dtypes=np.asarray(repr(dtypes)), **arrays)
 
 
 def load(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["kind"])
     aux = ast.literal_eval(str(z["meta"]))    # ints/tuples only
-    leaves = [z[f"leaf{i}"] for i in range(sum(1 for k in z.files
-                                               if k.startswith("leaf")))]
+    n_leaves = sum(1 for k in z.files
+                   if k.startswith("leaf") and k != "leaf_dtypes")
+    dtypes = ast.literal_eval(str(z["leaf_dtypes"])) if "leaf_dtypes" in \
+        z.files else [None] * n_leaves
+    if len(dtypes) != n_leaves:
+        raise ValueError(
+            f"{path}: {n_leaves} leaves but {len(dtypes)} recorded dtypes "
+            f"— file layout drifted; re-pack from the source matrix")
+    leaves = []
+    for i in range(n_leaves):
+        arr = z[f"leaf{i}"]
+        if dtypes[i] == "bfloat16":
+            import ml_dtypes
+
+            arr = arr.view(ml_dtypes.bfloat16)
+        leaves.append(arr)
     cls = _KINDS.get(kind)
     if cls is None:
         raise ValueError(f"unknown kind {kind!r} in {path}")

@@ -105,10 +105,10 @@ def sell_pack_csr(csr, w: int | None = None,
     nt, nb = mp // _LANES, np_ // _LANES
     csr = _sorted_rows(csr)   # ranking assumes m ascending within each row
 
-    if use_native is not False and csr.values.dtype == np.float32:
+    if use_native is not False:
         from tpusparse import native
 
-        if native.available():
+        if csr.values.dtype == np.float32 and native.available():
             packed = native.sell_fill_csr(csr.row_ptr, csr.col_idx,
                                           csr.values, n, nt, w)
             if packed is not None:
@@ -116,7 +116,10 @@ def sell_pack_csr(csr, w: int | None = None,
                 return dict(idx=idx, vals=vals, shape=(m, n),
                             padded=(mp, np_), w=w_out, nnz=int(csr.nnz))
         if use_native:
-            raise RuntimeError("native converters requested but unavailable")
+            raise RuntimeError(
+                "native converters requested but unavailable "
+                f"(library loaded: {native.available()}, values dtype: "
+                f"{csr.values.dtype} — the native packer is fp32-only)")
 
     row_nnz = csr.row_nnz
     c = np.repeat(np.arange(n, dtype=np.int64), row_nnz)   # output column
