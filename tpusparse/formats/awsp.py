@@ -57,6 +57,11 @@ class AwspMatrix:
         return cls(np.pad(idx, zpad), np.pad(vals, zpad), p["shape"],
                    p["padded"], p["w"], g, p["nnz"])
 
+    def __repr__(self) -> str:
+        return (f"AwspMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"w={self.w}, g={self.g}, groups={self._ng}, "
+                f"{self.device_bytes() / 1e6:.1f} MB)")
+
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None,
                    g: int = 8, dtype: Any = None) -> "AwspMatrix":

@@ -121,6 +121,11 @@ class BellMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    def __repr__(self) -> str:
+        return (f"BellMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"block_m={self.block_m}, w={self.w}, "
+                f"{self.device_bytes() / 1e6:.1f} MB)")
+
     @classmethod
     def from_dense(cls, a: np.ndarray, block_m: int = 512,
                    w: int | None = None) -> "BellMatrix":

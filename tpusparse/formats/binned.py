@@ -68,6 +68,10 @@ class BinnedSellMatrix:
         buckets = [dict(idx=i, vals=v) for i, v in pairs]
         return cls(buckets, inv_perm, perm_plan, *aux)
 
+    def __repr__(self) -> str:
+        return (f"BinnedSellMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"widths={self.widths}, {self.device_bytes() / 1e6:.1f} MB)")
+
     @classmethod
     def from_dense(cls, a: np.ndarray) -> "BinnedSellMatrix":
         a = np.asarray(a)

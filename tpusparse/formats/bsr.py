@@ -35,6 +35,7 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
     tiles = a.reshape(mb, block_m, nb, _LANES).transpose(0, 2, 1, 3)
     nz = tiles.any(axis=(2, 3))                       # (mb, nb)
     ii, jj = np.nonzero(nz)
+    n_real = int(ii.size)
     ii, jj, blocks = _canonicalize_blocks(
         ii, jj, lambda order: tiles[ii[order], jj[order]], nb, block_m,
         tiles.dtype)
@@ -42,7 +43,7 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
     return dict(bi=ii.astype(np.int32), bj=jj.astype(np.int32),
                 blocks=np.ascontiguousarray(blocks), shape=(m, n),
                 padded=(mp, np_), block_m=block_m,
-                nnz=int((a != 0).sum()))
+                nnz=int((a != 0).sum()), n_real=n_real)
 
 
 def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
@@ -82,7 +83,7 @@ def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
 @jax.tree_util.register_pytree_node_class
 class BsrMatrix:
     def __init__(self, bi: Any, bj: Any, blocks: Any, shape, padded,
-                 block_m: int, nnz: int):
+                 block_m: int, nnz: int, n_real: int):
         self.bi = bi
         self.bj = bj
         self.blocks = blocks
@@ -90,14 +91,22 @@ class BsrMatrix:
         self.padded = padded
         self.block_m = block_m
         self.nnz = nnz
+        self.n_real = n_real          # stored blocks before zero padding
 
     def tree_flatten(self):
         return ((self.bi, self.bj, self.blocks),
-                (self.shape, self.padded, self.block_m, self.nnz))
+                (self.shape, self.padded, self.block_m, self.nnz,
+                 self.n_real))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
+
+    def __repr__(self) -> str:
+        return (f"BsrMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"block_m={self.block_m}, blocks={self.n_real}, "
+                f"block_density={self.block_density:.2f}, "
+                f"{self.device_bytes() / 1e6:.1f} MB)")
 
     @classmethod
     def from_dense(cls, a: np.ndarray, block_m: int = 128) -> "BsrMatrix":
@@ -115,13 +124,14 @@ class BsrMatrix:
             raise ValueError(f"block width must be {_LANES}, got {bn}")
         mp, np_ = round_up(m, block_m), round_up(n, _LANES)
         nnz = int((blocks != 0).sum())
+        n_real = int(bi.size)
         bi, bj, blocks = _canonicalize_blocks(
             bi, bj, lambda order: blocks[order],
             np_ // _LANES, block_m, blocks.dtype)
         return cls(bi=bi.astype(np.int32), bj=bj.astype(np.int32),
                    blocks=np.ascontiguousarray(blocks),
                    shape=(m, n), padded=(mp, np_), block_m=block_m,
-                   nnz=nnz)
+                   nnz=nnz, n_real=n_real)
 
     def device_bytes(self) -> int:
         blocks = self.blocks
@@ -130,9 +140,10 @@ class BsrMatrix:
 
     @property
     def block_density(self) -> float:
+        """Fraction of (block_m x 128) tiles actually stored (pre-padding)."""
         mb = self.padded[0] // self.block_m
         nb = self.padded[1] // _LANES
-        return self.blocks.shape[0] / (mb * nb)
+        return self.n_real / (mb * nb)
 
     def to_dense(self) -> np.ndarray:
         bi = np.asarray(self.bi)

@@ -170,6 +170,11 @@ class SellMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    def __repr__(self) -> str:
+        return (f"SellMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"w={self.w}, dtype={np.asarray(self.vals).dtype}, "
+                f"{self.device_bytes() / 1e6:.1f} MB)")
+
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None,
                    dtype: Any = None) -> "SellMatrix":
