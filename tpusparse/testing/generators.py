@@ -98,4 +98,8 @@ def _banded_mask(rng, m, n, density, bandwidth):
 def _block_mask(rng, m, n, density, block):
     bm, bn = -(-m // block), -(-n // block)
     blocks = rng.random((bm, bn)) < density
+    if density > 0 and not blocks.any():
+        # small grids can draw zero active blocks, producing an all-zero
+        # "test matrix" that makes correctness checks vacuous
+        blocks.flat[int(rng.integers(bm * bn))] = True
     return np.kron(blocks, np.ones((block, block), dtype=bool))[:m, :n]
