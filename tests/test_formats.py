@@ -244,3 +244,19 @@ def test_save_load_bf16(tmp_path):
     x = generators.random_sparse_vector(256, density=0.5, seed=98)
     assert_close(s2.spmv(x), _ref.sgemv_cpu(x, a), atol=5e-2,
                  name="loaded-bf16")
+
+
+def test_scipy_interop():
+    sparse = pytest.importorskip("scipy.sparse")
+    from tests.conftest import assert_close
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.testing import reference as _ref
+
+    a = generators.random_sparse_matrix(300, 200, density=0.2, seed=97)
+    sp = sparse.csr_matrix(a)                 # scipy CSR of A itself
+    c = CsrMatrix.from_scipy(sp)
+    np.testing.assert_array_equal(c.to_dense(), a)
+    np.testing.assert_array_equal(c.to_scipy().toarray(), a)
+    x = generators.random_sparse_vector(300, density=0.5, seed=97)
+    assert_close(SellMatrix.from_csr(c).spmv(x), _ref.sgemv_cpu(x, a),
+                 name="scipy->sell")

@@ -79,6 +79,26 @@ class CsrMatrix:
         return cls(shape=(m, n), row_ptr=row_ptr,
                    col_idx=rows.astype(np.int32), values=values)
 
+    @classmethod
+    def from_scipy(cls, sp) -> "CsrMatrix":
+        """Any ``scipy.sparse`` matrix. Internally converts to CSC, whose
+        (indptr over columns, row indices) layout IS this class's CSR of
+        A.T — one output column's gather list per pointer range."""
+        csc = sp.tocsc()
+        csc.sum_duplicates()
+        m, n = csc.shape
+        return cls(shape=(m, n), row_ptr=csc.indptr.astype(np.int32),
+                   col_idx=csc.indices.astype(np.int32),
+                   values=np.asarray(csc.data))
+
+    def to_scipy(self):
+        """The same matrix as ``scipy.sparse.csc_matrix``."""
+        from scipy import sparse
+
+        m, n = self.shape
+        return sparse.csc_matrix(
+            (self.values, self.col_idx, self.row_ptr), shape=(m, n))
+
     def to_dense(self) -> np.ndarray:
         m, n = self.shape
         at = np.zeros((n, m), dtype=self.values.dtype)
