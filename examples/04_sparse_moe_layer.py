@@ -26,8 +26,6 @@ if "--cpu" in sys.argv:
 
 import numpy as np
 
-import jax.numpy as jnp
-
 from tpusparse.formats.awsp import AwspMatrix
 from tpusparse.formats.sell import SellMatrix
 from tpusparse.testing import generators
@@ -58,12 +56,11 @@ def main():
           f"of {EXPERTS}")
 
     plan = w2_awsp.plan(h_gated)
-    total = w2_awsp.vals.shape[1] // w2_awsp.g - 1
-    print(f"AWSP plan: {plan.size}/{total} expert blocks fetched "
+    print(f"AWSP plan: {plan.size}/{w2_awsp.n_groups} expert blocks fetched "
           f"({w2_awsp.device_bytes(h_gated) / 1e6:.1f} of "
           f"{w2_awsp.device_bytes() / 1e6:.1f} MB)")
 
-    y = np.asarray(w2_awsp._run(jnp.asarray(h_gated), plan=plan))
+    y = np.asarray(w2_awsp.spmm(h_gated))
     y_ref = h_gated.astype(np.float64) @ w2.astype(np.float64)
     err = np.abs(y - y_ref).max()
     print(f"layer output max|err| = {err:.2e} (contract: <= 1e-3)")

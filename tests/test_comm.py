@@ -6,12 +6,8 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-try:
-    from jax import shard_map as shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map
-
 from tpusparse.parallel import make_mesh
+from tpusparse.parallel.mesh import compat_shard_map
 from tpusparse.parallel.comm import (
     all_gather_x, psum_y, reduce_scatter_y, ring_shift)
 
@@ -29,7 +25,7 @@ def test_all_gather_x():
     def f(x_loc):
         return all_gather_x(x_loc, "n")
 
-    y = shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P(None),
+    y = compat_shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P(None),
                   check_vma=False)(x)
     np.testing.assert_array_equal(np.asarray(y), x)
 
@@ -41,7 +37,7 @@ def test_reduce_scatter_y():
     def f(yp):
         return reduce_scatter_y(yp[0], "n")
 
-    out = shard_map(f, mesh=mesh, in_specs=P("n", None),
+    out = compat_shard_map(f, mesh=mesh, in_specs=P("n", None),
                     out_specs=P("n"))(y_partial)
     np.testing.assert_array_equal(np.asarray(out),
                                   _D * np.arange(_D * 8, dtype=np.float32))
@@ -54,7 +50,7 @@ def test_psum_y():
     def f(yp):
         return psum_y(yp[0], "n")
 
-    out = shard_map(f, mesh=mesh, in_specs=P("n", None), out_specs=P(),
+    out = compat_shard_map(f, mesh=mesh, in_specs=P("n", None), out_specs=P(),
                     check_vma=False)(y)
     np.testing.assert_array_equal(np.asarray(out), np.full(8, _D, np.float32))
 
@@ -69,7 +65,7 @@ def test_ring_shift_full_cycle():
             y = ring_shift(y, "n")
         return y
 
-    y = shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P("n"))(x)
+    y = compat_shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P("n"))(x)
     np.testing.assert_array_equal(np.asarray(y), x)
 
 
@@ -80,6 +76,6 @@ def test_ring_shift_once_moves_shard():
     def f(x_loc):
         return ring_shift(x_loc, "n", shift=1)
 
-    y = shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P("n"))(x)
+    y = compat_shard_map(f, mesh=mesh, in_specs=P("n"), out_specs=P("n"))(x)
     got = np.asarray(y).reshape(_D, 4)[:, 0]
     np.testing.assert_array_equal(got, (np.arange(_D) - 1) % _D)

@@ -79,9 +79,12 @@ class AwspMatrix:
         return cls._from_pack(sell_pack_csr(csr, w=w), g)
 
     @property
-    def _ng(self) -> int:
+    def n_groups(self) -> int:
         """Number of real (non-padding) window groups."""
         return self.vals.shape[1] // self.g - 1
+
+    # internal alias kept for brevity in this module
+    _ng = n_groups
 
     def device_bytes(self, x: np.ndarray | None = None) -> int:
         """Bytes the kernel streams: all groups, or only X-active ones."""

@@ -83,7 +83,7 @@ def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
 @jax.tree_util.register_pytree_node_class
 class BsrMatrix:
     def __init__(self, bi: Any, bj: Any, blocks: Any, shape, padded,
-                 block_m: int, nnz: int, n_real: int):
+                 block_m: int, nnz: int, n_real: int | None = None):
         self.bi = bi
         self.bj = bj
         self.blocks = blocks
@@ -91,7 +91,9 @@ class BsrMatrix:
         self.padded = padded
         self.block_m = block_m
         self.nnz = nnz
-        self.n_real = n_real          # stored blocks before zero padding
+        # stored blocks before zero padding; None (files saved before this
+        # field existed) falls back to the padded count
+        self.n_real = n_real if n_real is not None else int(blocks.shape[0])
 
     def tree_flatten(self):
         return ((self.bi, self.bj, self.blocks),

@@ -84,12 +84,13 @@ class CsrMatrix:
         """Any ``scipy.sparse`` matrix. Internally converts to CSC, whose
         (indptr over columns, row indices) layout IS this class's CSR of
         A.T — one output column's gather list per pointer range."""
-        csc = sp.tocsc()
+        csc = sp.tocsc(copy=True)     # never alias/mutate the caller's data
         csc.sum_duplicates()
+        csc.eliminate_zeros()         # keep nnz == count of true nonzeros
         m, n = csc.shape
         return cls(shape=(m, n), row_ptr=csc.indptr.astype(np.int32),
                    col_idx=csc.indices.astype(np.int32),
-                   values=np.asarray(csc.data))
+                   values=np.array(csc.data))
 
     def to_scipy(self):
         """The same matrix as ``scipy.sparse.csc_matrix``."""

@@ -18,6 +18,19 @@ import numpy as np
 import jax
 from jax.sharding import Mesh
 
+try:
+    from jax import shard_map as _new_shard_map
+
+    def compat_shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        return _new_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_vma)
+except ImportError:  # pragma: no cover — jax < 0.7 spells the kwarg check_rep
+    from jax.experimental.shard_map import shard_map as _old_shard_map
+
+    def compat_shard_map(f, *, mesh, in_specs, out_specs, check_vma=True):
+        return _old_shard_map(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_rep=check_vma)
+
 
 def make_mesh(shape: dict[str, int], devices=None) -> Mesh:
     """Mesh from {'m': a, 'n': b}; total must divide available devices."""

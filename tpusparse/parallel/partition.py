@@ -26,10 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax import shard_map as _shard_map  # jax >= 0.7
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from tpusparse.parallel.mesh import compat_shard_map as _shard_map
 
 from tpusparse.parallel.mesh import default_mesh
 

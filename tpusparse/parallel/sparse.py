@@ -28,10 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-try:
-    from jax import shard_map as _shard_map
-except ImportError:  # pragma: no cover
-    from jax.experimental.shard_map import shard_map as _shard_map
+from tpusparse.parallel.mesh import compat_shard_map as _shard_map
 
 from tpusparse.formats.bsr import bsr_pack
 from tpusparse.formats.sell import SellMatrix
