@@ -87,7 +87,8 @@ def _header(dev, hbm, out):
           f"async tunnel (`bench/runner.py`); conversion and host-device "
           f"copies excluded, matching the reference's TIME_KERNEL region "
           f"(kernel.hpp:31-48). Reproduce: "
-          f"`python -m tpusparse.bench.report`. The pooled chip is shared: "
+          f"`python -m tpusparse.bench.report` (split long runs across "
+          f"timeouts with --sections). The pooled chip is shared: "
           f"run-to-run contention jitter is ~10% on sub-100 us "
           f"kernels (6 consecutive dense_xla runs spanned 74-82 us), which is why a few short rows can read slightly "
           f"above 100% of the spec roofline.\n", file=out)
