@@ -1,0 +1,63 @@
+"""Every format's product works under jax.jit (formats are pytrees).
+
+AWSP/ASP have host-side activation plans; under tracing they must fall back
+to visiting everything rather than crashing (their docstrings promise this).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tests.conftest import assert_close
+from tpusparse.testing import generators, reference
+
+_FMT = ["sell", "awsp", "bsr", "bell", "binned", "ell", "asp"]
+
+
+def _pack(name, a):
+    if name == "sell":
+        from tpusparse.formats.sell import SellMatrix
+
+        return SellMatrix.from_dense(a)
+    if name == "awsp":
+        from tpusparse.formats.awsp import AwspMatrix
+
+        return AwspMatrix.from_dense(a, g=2)
+    if name == "bsr":
+        from tpusparse.formats.bsr import BsrMatrix
+
+        return BsrMatrix.from_dense(a, block_m=128)
+    if name == "bell":
+        from tpusparse.formats.bell import BellMatrix
+
+        return BellMatrix.from_dense(a, block_m=128)
+    if name == "binned":
+        from tpusparse.formats.binned import BinnedSellMatrix
+
+        return BinnedSellMatrix.from_dense(a)
+    if name == "ell":
+        from tpusparse.formats.ell import EllMatrix
+
+        return EllMatrix.from_dense(a)
+    from tpusparse.kernels.asp_spmv import AspMatrix
+
+    return AspMatrix.from_dense(a, block_n=128)
+
+
+@pytest.mark.parametrize("fmt", _FMT)
+def test_spmv_under_jit(fmt):
+    a = generators.random_sparse_matrix(384, 256, density=0.3, seed=77)
+    x = generators.random_sparse_vector(384, density=0.5, seed=77)
+    f = _pack(fmt, a)
+
+    @jax.jit
+    def run(fmt_tree, xv):
+        return fmt_tree.spmv(xv)
+
+    y = run(f, jnp.asarray(x))
+    assert_close(y, reference.sgemv_cpu(x, a), name=f"jit[{fmt}]")
+    # second call with fresh leaves must hit the cache, not retrace-and-fail
+    y2 = run(jax.tree_util.tree_map(np.asarray, f), jnp.asarray(x))
+    assert_close(y2, reference.sgemv_cpu(x, a), name=f"jit[{fmt}] cached")
