@@ -60,18 +60,22 @@ def auto_format(a: np.ndarray, *, expect_structured_x: bool = False,
     """Pack ``a`` into the format its statistics call for (see module doc).
 
     ``expect_batch``: anticipated SpMM batch size. Gather-based formats
-    (SELL/AWSP) pay VPU gather work per (slot, batch) element — a floor
-    proportional to density x batch — while dense-tile time is
-    density-independent. Measured at B=8: SELL loses 6x at d=0.5 and 1.7x
-    at d=0.1 (BENCH.md); extrapolating the linear floor, the crossover is
-    at density x batch ~= 0.4, below which SELL's byte advantage dominates
-    again. Route to BSR when the structure is blocky, else ASP (dense
-    tiles + activation window skip).
+    (SELL/AWSP) pay VPU gather work per (slot, batch) element, so SpMM time
+    is ~B x (the format's own bytes-time), while dense-tile time is
+    density-independent (measured B-sweep in BENCH.md: 50 us x B at d=0.5,
+    18.5 us x B at d=0.1, vs ~85 us dense). Crossover: route to dense tiles
+    when B x estimated SELL bytes exceeds ~1.3x the dense bytes — BSR when
+    the structure is blocky, else ASP (dense tiles + activation window
+    skip).
     """
     a = np.asarray(a)
     s = stats or matrix_stats(a)
 
-    if expect_batch >= 4 and s["density"] * expect_batch >= 0.4:
+    m, n = a.shape
+    est_sell_bytes = (-(-n // _LANES)) * (-(-m // _LANES)) * \
+        round_up(max(s["w_global"], 8), 8) * _LANES * 5
+    dense_bytes = m * n * 4
+    if expect_batch >= 2 and expect_batch * est_sell_bytes >= 1.3 * dense_bytes:
         if s["empty_block_frac"] >= 0.4:
             from tpusparse.formats.bsr import BsrMatrix
 
