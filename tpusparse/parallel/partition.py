@@ -103,7 +103,12 @@ def _spmv_sharded_jit(a, x, mesh: Mesh, partition: str):
 
 def spmv_sharded(a: Any, x: Any, mesh: Mesh | None = None,
                  partition: str | Partition = Partition.N) -> jax.Array:
-    """Multi-chip y = x @ a. ``a`` dense (sparse formats: round 2 hook)."""
+    """Multi-chip y = x @ a for dense ``a``.
+
+    Sparse formats have their own sharded entry points with the same
+    partition names: ``parallel.sparse.sell_spmm_sharded`` (n/m/ring/2d),
+    ``awsp_spmm_sharded``, ``bsr_spmm_sharded``.
+    """
     mesh = mesh or default_mesh()
     partition = Partition(partition)
     a = jnp.asarray(a)
