@@ -228,6 +228,22 @@ def test_load_leaf_count_guard(tmp_path):
         io.load(p)
 
 
+def test_load_dict_meta_guard(tmp_path):
+    # pre-r2 files stored meta as a dict repr; tree_unflatten would unpack
+    # its KEYS positionally and silently build a corrupt object (ADVICE r1)
+    from tpusparse.formats import io
+    from tpusparse.formats.sell import SellMatrix
+
+    a = generators.random_sparse_matrix(128, 128, density=0.3, seed=97)
+    p = str(tmp_path / "oldmeta.npz")
+    io.save(p, SellMatrix.from_dense(a))
+    z = dict(np.load(p, allow_pickle=False))
+    z["meta"] = np.asarray(repr({"shape": (128, 128), "w": 8}))
+    np.savez_compressed(p, **z)
+    with pytest.raises(ValueError, match="re-pack"):
+        io.load(p)
+
+
 def test_save_load_bf16(tmp_path):
     import jax.numpy as jnp
 

@@ -34,6 +34,8 @@ from tpusparse.bench.runner import device_time
 from tpusparse.parallel import make_mesh
 from tpusparse.testing import generators
 
+_LANES = 128
+
 
 @dataclasses.dataclass
 class ScalePoint:
@@ -107,8 +109,22 @@ def sweep_scaling(
         k1 = (4 if cpu else 16) if k1 is None else k1
         k2 = (20 if cpu else 272) if k2 is None else k2
     if device_counts is None:
+        # auto counts must respect the partition's divisibility (strong mode
+        # keeps the sharded dim fixed, so e.g. sell/'n' needs base_n/128
+        # divisible by D) — filter instead of crashing mid-sweep
+        def _fits(d: int) -> bool:
+            if mode == "weak":      # sharded dim grows with d
+                return True
+            sharded = base_n if partition in ("n", "ring") else base_m
+            quantum = _LANES if kernel == "sell" else 1
+            if partition == "ring":     # both dims shard
+                return (base_n // quantum) % d == 0 and \
+                    (base_m // quantum) % d == 0
+            return (sharded // quantum) % d == 0 and sharded % d == 0
+
         device_counts = tuple(
-            d for d in (1, 2, 4, 8, 16, 32) if d <= len(all_devices))
+            d for d in (1, 2, 4, 8, 16, 32)
+            if d <= len(all_devices) and _fits(d))
     points: list[ScalePoint] = []
     for d in device_counts:
         if mode == "weak":

@@ -95,6 +95,8 @@ def cmd_bench(args) -> int:
         import csv as _csv
         import sys as _sys
 
+        if not records:
+            return 0
         w = _csv.DictWriter(_sys.stdout, fieldnames=list(records[0]))
         w.writeheader()
         w.writerows(records)
@@ -161,7 +163,8 @@ def main(argv=None) -> int:
             # that actually apply
             p.add_argument("--sections", default=None,
                            help="comma list: canonical,powerlaw,lowdensity,"
-                                "structured,spmm,reduced (default all)")
+                                "structured,spmm,reduced,crossover "
+                                "(default all)")
             p.add_argument("--cpu", action="store_true")
             p.set_defaults(fn=fn)
             continue

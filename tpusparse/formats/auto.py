@@ -27,7 +27,9 @@ _LANES = 128
 
 
 def matrix_stats(a: np.ndarray) -> dict[str, Any]:
-    """Cheap O(nnz) statistics driving format choice."""
+    """Statistics driving format choice. This dense path is O(M*N) (it
+    reshapes the full mask); for matrices too large to densify use
+    ``matrix_stats_csr``, which is genuinely O(nnz)."""
     a = np.asarray(a)
     m, n = a.shape
     mask = a != 0

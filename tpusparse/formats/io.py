@@ -50,6 +50,13 @@ def load(path: str):
     z = np.load(path, allow_pickle=False)
     kind = str(z["kind"])
     aux = ast.literal_eval(str(z["meta"]))    # ints/tuples only
+    if not isinstance(aux, (tuple, list)):
+        # pre-r2 files stored a dict repr; unpacking its KEYS positionally
+        # would silently build a corrupt object — mirror _expect and fail loud
+        raise ValueError(
+            f"{path}: meta is {type(aux).__name__}, expected the "
+            f"tree_flatten aux tuple — incompatible file; re-pack from the "
+            f"source matrix")
     n_leaves = sum(1 for k in z.files
                    if k.startswith("leaf") and k != "leaf_dtypes")
     dtypes = ast.literal_eval(str(z["leaf_dtypes"])) if "leaf_dtypes" in \

@@ -28,10 +28,16 @@ def initialize(coordinator_address: str | None = None,
     instead of calling any device API, and a too-late call is surfaced as
     an error rather than silently degrading every host to single-process.
     """
-    from jax._src import distributed as _dist
+    try:
+        # private API (no stability guarantee) — used only for the
+        # idempotency fast path; when it disappears we fall through to the
+        # exception-tolerant initialize below
+        from jax._src import distributed as _dist
 
-    if _dist.global_state.client is not None:     # already initialized
-        return
+        if _dist.global_state.client is not None:  # already initialized
+            return
+    except (ImportError, AttributeError):
+        pass
     try:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
@@ -42,6 +48,8 @@ def initialize(coordinator_address: str | None = None,
     except RuntimeError as e:
         import os
 
+        if "already initialized" in str(e).lower():
+            return                                # idempotent re-call
         wants_multi = any(v is not None for v in (
             coordinator_address, num_processes, process_id)) or \
             os.environ.get("JAX_COORDINATOR_ADDRESS") or \
