@@ -27,4 +27,4 @@ __version__ = "0.1.0"
 
 from tpusparse.ops import spmv, spmm  # noqa: F401
 from tpusparse.config import SpmvConfig  # noqa: F401
-from tpusparse.formats.auto import auto_format, matrix_stats  # noqa: F401
+from tpusparse.formats.auto import auto_format, matrix_stats, matrix_stats_csr  # noqa: F401

@@ -101,6 +101,56 @@ def bell_pack(a: np.ndarray, block_m: int = 512,
                 nnz=int(mask.sum()))
 
 
+def bell_pack_csr(csr, block_m: int = 512,
+                  w: int | None = None) -> dict[str, Any]:
+    """Pack from ``CsrMatrix`` without materializing dense A. Memory is the
+    format's own footprint: packed values (~padded nnz) plus the bitmap,
+    which is inherently M*N/8 bits — BELL cannot beat that; route truly huge
+    hypersparse matrices to SELL/BSR instead. Assumes no duplicate
+    positions (the bitmap ORs duplicates into one slot)."""
+    from tpusparse.formats.sell import _sorted_rows
+
+    m, n = csr.shape
+    block_m = min(block_m, round_up(m, _LANES))
+    mp, np_ = round_up(m, block_m), round_up(n, _LANES)
+    mb, nb = mp // block_m, np_ // _LANES
+    csr = _sorted_rows(csr)       # rank order below needs ascending m per row
+
+    r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
+    mi = csr.col_idx.astype(np.int64)
+    jj, rr = r // _LANES, r % _LANES
+    ii, ll = mi // block_m, mi % block_m
+
+    # rank within each (column, block) run — entries sorted by (r, mi)
+    if r.size:
+        new_grp = np.empty(r.size, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (r[1:] != r[:-1]) | (ii[1:] != ii[:-1])
+        grp_start = np.flatnonzero(new_grp)
+        counts = np.diff(np.append(grp_start, r.size))
+        rank = np.arange(r.size) - np.repeat(grp_start, counts)
+        max_nnz = int(counts.max())
+    else:
+        rank = np.zeros(0, dtype=np.int64)
+        max_nnz = 0
+    if w is None:
+        w = max(round_up(max_nnz, _LANES), _LANES)
+    elif max_nnz > w:
+        raise ValueError(f"w={w} < max block-column nnz {max_nnz}")
+
+    vals = np.zeros((nb, mb, _LANES, w), dtype=csr.values.dtype)
+    vals[jj, ii, rr, rank] = csr.values
+    # kernel-matched bit order (see _mask_to_words): position l -> word
+    # l % nwords, bit l // nwords
+    nwords = block_m // 32
+    bitmap = np.zeros((nb, mb, _LANES, nwords), dtype=np.uint32)
+    np.bitwise_or.at(
+        bitmap, (jj, ii, rr, ll % nwords),
+        (np.uint32(1) << (ll // nwords).astype(np.uint32)))
+    return dict(bitmap=bitmap, vals=vals, shape=(m, n), padded=(mp, np_),
+                block_m=block_m, w=w, nnz=int(csr.nnz))
+
+
 @jax.tree_util.register_pytree_node_class
 class BellMatrix:
     def __init__(self, bitmap: Any, vals: Any, shape, padded, block_m: int,
@@ -130,6 +180,12 @@ class BellMatrix:
     def from_dense(cls, a: np.ndarray, block_m: int = 512,
                    w: int | None = None) -> "BellMatrix":
         return cls(**bell_pack(a, block_m=block_m, w=w))
+
+    @classmethod
+    def from_csr(cls, csr, block_m: int = 512,
+                 w: int | None = None) -> "BellMatrix":
+        """Pack from ``CsrMatrix`` without materializing dense A."""
+        return cls(**bell_pack_csr(csr, block_m=block_m, w=w))
 
     def device_bytes(self) -> int:
         vals = self.vals

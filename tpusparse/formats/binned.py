@@ -117,6 +117,52 @@ class BinnedSellMatrix:
         return cls(buckets, inv_perm[:n], (pp["oidx"], pp["oh"]), (m, n),
                    nnz, tuple(widths))
 
+    @classmethod
+    def from_csr(cls, csr) -> "BinnedSellMatrix":
+        """Pack from ``CsrMatrix`` without materializing dense A — the same
+        sort/bucket/pack pipeline as ``from_dense``, with the column sort
+        realized as a CSR row-subset gather (columns of A are this CSR's
+        rows) and each bucket packed via ``sell_pack_csr``. O(nnz + packed
+        slots) memory."""
+        from tpusparse.formats.csr import col_window_widths, csr_rows_subset
+        from tpusparse.formats.sell import sell_pack_csr
+
+        m, n = csr.shape
+        np_ = round_up(n, _LANES)
+        col_nnz = np.zeros(np_, dtype=np.int64)
+        col_nnz[:n] = csr.row_nnz
+        perm = np.argsort(-col_nnz, kind="stable").astype(np.int32)
+
+        col_w = np.zeros(np_, dtype=np.int64)
+        col_w[:n] = col_window_widths(csr)
+        nb = np_ // _LANES
+        group_w = col_w[perm].reshape(nb, _LANES).max(axis=1)
+
+        lv = _pick_levels(group_w)
+        need = np.array(lv).searchsorted(group_w, side="left")
+        buckets, widths, order = [], [], []
+        for li, level in enumerate(lv):
+            groups = np.nonzero(need == li)[0]
+            if groups.size == 0:
+                continue
+            cols = (groups[:, None] * _LANES +
+                    np.arange(_LANES)[None, :]).ravel()
+            sub = csr_rows_subset(csr, perm[cols])
+            packed = sell_pack_csr(sub, w=int(level))
+            buckets.append(dict(idx=packed["idx"], vals=packed["vals"]))
+            widths.append(int(level))
+            order.append(cols)
+
+        order = np.concatenate(order) if order else np.arange(0)
+        final_perm = perm[order]
+        inv_perm = np.empty(np_, dtype=np.int32)
+        inv_perm[final_perm] = np.arange(np_, dtype=np.int32)
+        from tpusparse.kernels.permute import permute_plan
+
+        pp = permute_plan(inv_perm)
+        return cls(buckets, inv_perm[:n], (pp["oidx"], pp["oh"]), (m, n),
+                   int(csr.nnz), tuple(widths))
+
     def device_bytes(self) -> int:
         total = 0
         for b in self.buckets:

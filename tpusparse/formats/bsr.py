@@ -46,6 +46,30 @@ def bsr_pack(a: np.ndarray, block_m: int = 128) -> dict[str, Any]:
                 nnz=int((a != 0).sum()), n_real=n_real)
 
 
+def bsr_pack_csr(csr, block_m: int = 128) -> dict[str, Any]:
+    """Pack straight from ``CsrMatrix`` (CSR of A.T) — memory touched is
+    O(nnz + kept blocks), never the (m, n) dense array. Duplicate positions
+    sum, matching ``CsrMatrix.to_dense``."""
+    m, n = csr.shape
+    mp, np_ = round_up(m, block_m), round_up(n, _LANES)
+    nb = np_ // _LANES
+
+    r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)  # output col
+    mi = csr.col_idx.astype(np.int64)
+    key = (mi // block_m) * nb + (r // _LANES)
+    uniq, inv = np.unique(key, return_inverse=True)
+    blocks = np.zeros((uniq.size, block_m, _LANES), csr.values.dtype)
+    np.add.at(blocks, (inv, mi % block_m, r % _LANES), csr.values)
+    nnz = int((blocks != 0).sum())
+    n_real = int(uniq.size)
+    ii, jj, blocks = _canonicalize_blocks(
+        (uniq // nb), uniq % nb, lambda order: blocks[order], nb, block_m,
+        blocks.dtype)
+    return dict(bi=ii.astype(np.int32), bj=jj.astype(np.int32),
+                blocks=np.ascontiguousarray(blocks), shape=(m, n),
+                padded=(mp, np_), block_m=block_m, nnz=nnz, n_real=n_real)
+
+
 def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
     """Establish the block-list invariants both kernels rely on:
 
@@ -113,6 +137,11 @@ class BsrMatrix:
     @classmethod
     def from_dense(cls, a: np.ndarray, block_m: int = 128) -> "BsrMatrix":
         return cls(**bsr_pack(a, block_m=block_m))
+
+    @classmethod
+    def from_csr(cls, csr, block_m: int = 128) -> "BsrMatrix":
+        """Pack from ``CsrMatrix`` without materializing dense A."""
+        return cls(**bsr_pack_csr(csr, block_m=block_m))
 
     @classmethod
     def from_blocks(cls, m: int, n: int, bi: np.ndarray, bj: np.ndarray,

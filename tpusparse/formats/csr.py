@@ -24,6 +24,42 @@ import dataclasses
 import numpy as np
 
 
+def col_window_widths(csr, window: int = 128) -> np.ndarray:
+    """(n,) per-output-column SELL width demand — the max nnz any
+    ``window``-row slab of the contraction dim holds for that column.
+    O(nnz); shared by the format router and the binned packer."""
+    m, n = csr.shape
+    mb = -(-max(m, 1) // window)
+    col_w = np.zeros(n, dtype=np.int64)
+    if csr.nnz:
+        r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
+        key = r * mb + csr.col_idx.astype(np.int64) // window
+        uk, counts = np.unique(key, return_counts=True)
+        np.maximum.at(col_w, uk // mb, counts)
+    return col_w
+
+
+def csr_rows_subset(csr, rows: np.ndarray) -> "CsrMatrix":
+    """CSR whose row k is ``csr`` row ``rows[k]`` (shape (m, len(rows)));
+    entries ``rows[k] >= n`` select empty rows (column padding)."""
+    m, n = csr.shape
+    rp = csr.row_ptr.astype(np.int64)
+    rows = np.asarray(rows, dtype=np.int64)
+    safe = np.minimum(rows, n - 1)
+    valid = rows < n
+    starts = np.where(valid, rp[safe], 0)
+    counts = np.where(valid, rp[safe + 1] - rp[safe], 0)
+    out_ptr = np.zeros(rows.size + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_ptr[1:])
+    total = int(out_ptr[-1])
+    offs = np.arange(total, dtype=np.int64) - np.repeat(out_ptr[:-1], counts)
+    src = np.repeat(starts, counts) + offs
+    return CsrMatrix(shape=(m, int(rows.size)),
+                     row_ptr=out_ptr.astype(np.int32),
+                     col_idx=np.asarray(csr.col_idx)[src],
+                     values=np.asarray(csr.values)[src])
+
+
 @dataclasses.dataclass
 class CsrMatrix:
     """CSR of A.T: row r lists the nonzeros of output column r of A."""

@@ -107,6 +107,15 @@ class AspMatrix:
         a_pad[:m, :n] = a
         return cls(a_pad, (m, n), block_n)
 
+    @classmethod
+    def from_csr(cls, csr, block_n: int = 2048) -> "AspMatrix":
+        """ASP's format IS a (padded) dense array (the reference stores all
+        M*N values too, asp.cpp:5-13), so this necessarily materializes
+        (m, n) memory — it exists so ``auto_format`` can route >60%-dense
+        CSR input (where CSR triplets already outweigh dense) without a
+        special case."""
+        return cls.from_dense(csr.to_dense(), block_n=block_n)
+
     def device_bytes(self) -> int:
         a = self.a_pad
         return int(np.prod(a.shape)) * a.dtype.itemsize

@@ -68,6 +68,46 @@ def random_sparse_matrix(m: int, n: int, density: float = 0.5, seed: int = 0,
     return a.astype(dtype)
 
 
+def random_sparse_csr(m: int, n: int, density: float = 0.5, seed: int = 0,
+                      distribution: str = "uniform", dtype=np.float32,
+                      **kw) -> "CsrMatrix":
+    """A as ``CsrMatrix`` generated WITHOUT materializing the dense array —
+    the no-densify ingestion fixture (a 50k x 50k matrix is 10 GB dense).
+
+    Positions are drawn with replacement and deduplicated, so nnz lands
+    slightly below ``round(m*n*density)`` (within ~density/2 relative);
+    exact-count generation would need per-column rejection loops that do not
+    vectorize. Supports ``uniform`` and ``powerlaw`` (column-weighted).
+    """
+    from tpusparse.formats.csr import CsrMatrix
+
+    rng = _rng(seed)
+    target = int(round(m * n * density))
+    if distribution == "uniform":
+        pos = rng.integers(0, m * n, size=target, dtype=np.int64)
+        pos = np.unique(pos)
+        r, mi = pos // m, pos % m                 # r = output column
+    elif distribution == "powerlaw":
+        ranks = np.arange(1, n + 1, dtype=np.float64)
+        w = ranks ** (-kw.get("alpha", 1.2))
+        cols = rng.permutation(n)[np.searchsorted(
+            np.cumsum(w / w.sum()), rng.random(target))]
+        rows = rng.integers(0, m, size=target, dtype=np.int64)
+        pos = np.unique(cols.astype(np.int64) * m + rows)
+        r, mi = pos // m, pos % m
+    else:
+        raise ValueError(
+            f"random_sparse_csr supports uniform/powerlaw, not "
+            f"{distribution!r}")
+    vals = rng.uniform(-1.0, 1.0, size=r.size).astype(dtype)
+    vals[vals == 0.0] = 1e-3                      # keep support unambiguous
+    row_ptr = np.zeros(n + 1, dtype=np.int32)
+    np.add.at(row_ptr, r + 1, 1)
+    np.cumsum(row_ptr, out=row_ptr)
+    return CsrMatrix(shape=(m, n), row_ptr=row_ptr,
+                     col_idx=mi.astype(np.int32), values=vals)
+
+
 def _powerlaw_mask(rng, m, n, density, alpha):
     # Per output column j (columns of A are the "rows" of the contraction,
     # SURVEY.md §0), target nnz ∝ (j+1)^-alpha, scaled to hit global density.
