@@ -28,6 +28,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from tpusparse.parallel.mesh import compat_shard_map as _shard_map
 
+from tpusparse.parallel import comm
 from tpusparse.parallel.mesh import default_mesh
 
 
@@ -53,7 +54,7 @@ def _n_shard(mesh: Mesh, a, x):
 
 def _m_shard(mesh: Mesh, a, x):
     def f(a_loc, x_loc):
-        return lax.psum(_local_matvec(a_loc, x_loc), "n")
+        return comm.psum_y(_local_matvec(a_loc, x_loc), "n")
 
     # note: the mesh axis is named "n" but here it carries M-shards
     return _shard_map(f, mesh=mesh, in_specs=(P("n", None), P("n")),
@@ -75,8 +76,7 @@ def _ring(mesh: Mesh, a, x):
             a_band = lax.dynamic_slice_in_dim(a_loc, row0, chunk, axis=0)
             y = y + _local_matvec(a_band, xc)
             # pass the chunk to the left neighbor; receive the next band's.
-            perm = [(i, (i - 1) % d) for i in range(d)]
-            xc = lax.ppermute(xc, "n", perm)
+            xc = comm.ring_shift(xc, "n", shift=-1)
             return (y, xc)
 
         y0 = jnp.zeros((a_loc.shape[1],), a_loc.dtype)

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
+from tpusparse.parallel import comm
 from tpusparse.parallel.mesh import compat_shard_map as _shard_map
 
 from tpusparse.formats.bsr import bsr_pack
@@ -83,7 +84,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
         def f(idx_loc, vals_loc, x_loc):
             out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
-            return lax.psum(out[::_SUB], "n")
+            return comm.psum_y(out[::_SUB], "n")
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P(None, "n"), P(None, "n"), P(None, "n")),
@@ -110,8 +111,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                 idx_b = lax.dynamic_slice_in_dim(idx_loc, t0, band, axis=1)
                 val_b = lax.dynamic_slice_in_dim(vals_loc, t0, band, axis=1)
                 y = y + sell_spmm_padded(idx_b, val_b, xc, w=w)
-                perm = [(i, (i - 1) % d) for i in range(d)]
-                return (y, lax.ppermute(xc, "n", perm))
+                return (y, comm.ring_shift(xc, "n", shift=-1))
 
             y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
                            x_loc.dtype)   # kernel returns x's dtype
