@@ -1,4 +1,10 @@
-"""Multi-host launch helpers (single-process semantics + slab math)."""
+"""Multi-host launch helpers (single-process semantics + slab math), plus a
+real 2-process ``jax.distributed`` run over localhost."""
+
+import os
+import socket
+import subprocess
+import sys
 
 import numpy as np
 import pytest
@@ -39,6 +45,36 @@ def test_slab_divisibility_error():
     with pytest.raises(ValueError):
         launch.process_slab(100, 100, partition="n",
                             process_index=0, process_count=3)
+
+
+def test_two_process_distributed_spmv():
+    """2 OS processes x 2 virtual CPU devices: jax.distributed.initialize
+    through launch.initialize(), host_local_matrix slab agreement, and
+    dense n/m + SELL n sharded SpMV across the process boundary — the
+    multi-host path SURVEY.md §2.4 promises (VERDICT r1 missing #6)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "distributed_worker.py")
+    env = {**os.environ, "PYTHONPATH": root}
+    env.pop("XLA_FLAGS", None)               # worker sets its own
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=root) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=150)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"WORKER-OK {i}" in out, f"worker {i} output:\n{out}"
 
 
 def test_initialize_late_multihost_raises():
