@@ -25,14 +25,14 @@ def test_near_dense_is_asp():
     _check(a, "AspMatrix")
 
 
-def test_block_structured_is_bsr():
+def test_block_structured_is_tcsr():
     a = generators.random_sparse_matrix(512, 384, density=0.3, seed=2,
                                         distribution="blocks")
     s = matrix_stats(a)
     if s["empty_block_frac"] >= 0.4:
-        _check(a, "BsrMatrix")
+        _check(a, "TcsrMatrix")
     else:  # generator produced dense-ish block cover; stats must still agree
-        assert type(auto_format(a)).__name__ != "BsrMatrix"
+        assert type(auto_format(a)).__name__ != "TcsrMatrix"
 
 
 def test_powerlaw_is_binned():
@@ -68,4 +68,4 @@ def test_batched_low_density_still_mxu_path():
     """At B>=4 the gather floor loses at every density (BENCH.md)."""
     a = generators.random_sparse_matrix(512, 384, density=0.1, seed=10)
     f = auto_format(a, expect_batch=8)
-    assert type(f).__name__ in ("AspMatrix", "BsrMatrix")
+    assert type(f).__name__ in ("AspMatrix", "TcsrMatrix")

@@ -114,7 +114,7 @@ def test_bsr_from_blocks():
 
 
 @pytest.mark.parametrize("kind", ["sell", "bell", "bsr", "awsp", "binned",
-                                  "asp"])
+                                  "asp", "tcsr", "tcsr_mixed"])
 def test_format_save_load(tmp_path, dense, kind):
     from tpusparse.formats import io
     from tpusparse.formats.awsp import AwspMatrix
@@ -122,6 +122,7 @@ def test_format_save_load(tmp_path, dense, kind):
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
     from tpusparse.formats.sell import SellMatrix
+    from tpusparse.formats.tcsr import TcsrMatrix
     from tpusparse.kernels.asp_spmv import AspMatrix
 
     fmt = {"sell": lambda: SellMatrix.from_dense(dense),
@@ -129,7 +130,13 @@ def test_format_save_load(tmp_path, dense, kind):
            "bsr": lambda: BsrMatrix.from_dense(dense, block_m=128),
            "awsp": lambda: AwspMatrix.from_dense(dense, g=2),
            "binned": lambda: BinnedSellMatrix.from_dense(dense),
-           "asp": lambda: AspMatrix.from_dense(dense, block_n=128)}[kind]()
+           "asp": lambda: AspMatrix.from_dense(dense, block_n=128),
+           "tcsr": lambda: TcsrMatrix.from_dense(dense),
+           # expect_batch=32 flips every tile to the dense tier, covering
+           # the nested-BsrMatrix branch of io save/load
+           "tcsr_mixed": lambda: TcsrMatrix.from_dense(dense,
+                                                       expect_batch=32),
+           }[kind]()
     p = str(tmp_path / f"{kind}.npz")
     io.save(p, fmt)
     fmt2 = io.load(p)

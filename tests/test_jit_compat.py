@@ -13,7 +13,8 @@ import jax.numpy as jnp
 from tests.conftest import assert_close
 from tpusparse.testing import generators, reference
 
-_FMT = ["sell", "awsp", "bsr", "bell", "binned", "ell", "asp"]
+_FMT = ["sell", "awsp", "bsr", "bell", "binned", "ell", "asp", "tcsr",
+        "tcsr_dense_tier"]
 
 
 def _pack(name, a):
@@ -41,6 +42,12 @@ def _pack(name, a):
         from tpusparse.formats.ell import EllMatrix
 
         return EllMatrix.from_dense(a)
+    if name.startswith("tcsr"):
+        from tpusparse.formats.tcsr import TcsrMatrix
+
+        # expect_batch=32 forces the dense tier (nested BsrMatrix child)
+        return TcsrMatrix.from_dense(
+            a, expect_batch=32 if name.endswith("dense_tier") else 1)
     from tpusparse.kernels.asp_spmv import AspMatrix
 
     return AspMatrix.from_dense(a, block_n=128)

@@ -79,7 +79,7 @@ def test_col_window_widths_and_rows_subset():
 def test_auto_format_csr_routes_like_dense():
     cases = [
         (dict(density=0.7, distribution="uniform"), {}, "AspMatrix"),
-        (dict(density=0.15, distribution="blocks"), {}, "BsrMatrix"),
+        (dict(density=0.15, distribution="blocks"), {}, "TcsrMatrix"),
         (dict(density=0.15, distribution="powerlaw"), {},
          "BinnedSellMatrix"),
         (dict(density=0.3, distribution="uniform"),

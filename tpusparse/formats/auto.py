@@ -7,8 +7,9 @@ should route a matrix to the format whose measured regime it falls in
 - near-dense (d > 0.6): compression cannot beat streaming dense A — use the
   ASP window-skip path (dense A + activation skipping; ~dense baseline on
   i.i.d. X, wins on structured X).
-- block-structured (>= 40% of 128x128 tiles empty): BSR — traffic scales
-  with kept blocks and SpMM rides the MXU on whole tiles.
+- block-structured (>= 40% of 128x128 tiles empty): TCSR — traffic scales
+  with kept blocks, each stored dense (MXU tier) or SELL-compressed
+  (bytes ∝ in-block nnz) per the tcsr cost model.
 - skewed columns (a few heavy columns force the global SELL width to >= 1.5x
   the typical column group's need): binned SELL — per-bucket widths.
 - otherwise: SELL (flat), or AWSP (SELL + activation window-group skip) when
@@ -116,9 +117,11 @@ def auto_format(a, *, expect_structured_x: bool = False,
     dense_bytes = m * n * 4
     if expect_batch >= 2 and expect_batch * est_sell_bytes >= 1.3 * dense_bytes:
         if s["empty_block_frac"] >= 0.4:
-            from tpusparse.formats.bsr import BsrMatrix
+            from tpusparse.formats.tcsr import TcsrMatrix
 
-            return BsrMatrix.from_csr(a) if is_csr else BsrMatrix.from_dense(a)
+            return TcsrMatrix.from_csr(a, expect_batch=expect_batch) \
+                if is_csr else TcsrMatrix.from_dense(
+                    a, expect_batch=expect_batch)
         from tpusparse.kernels.asp_spmv import AspMatrix
 
         return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
@@ -127,9 +130,13 @@ def auto_format(a, *, expect_structured_x: bool = False,
 
         return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
     if s["empty_block_frac"] >= 0.4:
-        from tpusparse.formats.bsr import BsrMatrix
+        # TCSR rather than plain BSR: it keeps the block skip and adds the
+        # per-tile dense/SELL tier choice, degenerating to BSR tiles exactly
+        # when those are cheaper (formats/tcsr.py cost model)
+        from tpusparse.formats.tcsr import TcsrMatrix
 
-        return BsrMatrix.from_csr(a) if is_csr else BsrMatrix.from_dense(a)
+        return TcsrMatrix.from_csr(a, expect_batch=expect_batch) if is_csr \
+            else TcsrMatrix.from_dense(a, expect_batch=expect_batch)
     if s["w_typical"] > 0 and s["w_global"] >= 1.5 * s["w_typical"]:
         from tpusparse.formats.binned import BinnedSellMatrix
 

@@ -16,10 +16,12 @@ from tpusparse.formats.bell import BellMatrix
 from tpusparse.formats.binned import BinnedSellMatrix
 from tpusparse.formats.bsr import BsrMatrix
 from tpusparse.formats.sell import SellMatrix
+from tpusparse.formats.tcsr import TcsrMatrix
 from tpusparse.kernels.asp_spmv import AspMatrix
 
 _KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix,
-          "awsp": AwspMatrix, "binned": BinnedSellMatrix, "asp": AspMatrix}
+          "awsp": AwspMatrix, "binned": BinnedSellMatrix, "asp": AspMatrix,
+          "tcsr": TcsrMatrix}
 
 
 def save(path: str, fmt) -> None:
@@ -41,6 +43,11 @@ def save(path: str, fmt) -> None:
             arr = arr.view(np.uint16)
         arrays[f"leaf{i}"] = arr
     _, aux = fmt.tree_flatten()
+    if kind == "tcsr":
+        # the dense tier is a nested BsrMatrix pytree; its static aux must
+        # ride along or load() could not rebuild it
+        bsr_aux = None if fmt.bsr is None else tuple(fmt.bsr.tree_flatten()[1])
+        aux = (tuple(aux), bsr_aux)
     np.savez_compressed(path, kind=kind,
                         meta=np.asarray(repr(tuple(aux))),
                         leaf_dtypes=np.asarray(repr(dtypes)), **arrays)
@@ -87,6 +94,12 @@ def load(path: str):
                 f"{n_expected} — saved with an incompatible tpusparse "
                 f"version; re-pack from the source matrix")
 
+    if kind == "tcsr":
+        own_aux, bsr_aux = aux
+        _expect(4 if bsr_aux is None else 7)
+        bsr = None if bsr_aux is None else _KINDS["bsr"].tree_unflatten(
+            tuple(bsr_aux), tuple(leaves[4:7]))
+        return cls.tree_unflatten(tuple(own_aux), (*leaves[:4], bsr))
     if kind == "binned":
         widths = aux[-1]
         nb = len(widths)
