@@ -114,13 +114,14 @@ def test_bsr_from_blocks():
 
 
 @pytest.mark.parametrize("kind", ["sell", "bell", "bsr", "awsp", "binned",
-                                  "asp", "tcsr", "tcsr_mixed"])
+                                  "asp", "tcsr", "tcsr_mixed", "rsell"])
 def test_format_save_load(tmp_path, dense, kind):
     from tpusparse.formats import io
     from tpusparse.formats.awsp import AwspMatrix
     from tpusparse.formats.bell import BellMatrix
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
+    from tpusparse.formats.rsell import RsellMatrix
     from tpusparse.formats.sell import SellMatrix
     from tpusparse.formats.tcsr import TcsrMatrix
     from tpusparse.kernels.asp_spmv import AspMatrix
@@ -136,6 +137,7 @@ def test_format_save_load(tmp_path, dense, kind):
            # the nested-BsrMatrix branch of io save/load
            "tcsr_mixed": lambda: TcsrMatrix.from_dense(dense,
                                                        expect_batch=32),
+           "rsell": lambda: RsellMatrix.from_dense(dense),
            }[kind]()
     p = str(tmp_path / f"{kind}.npz")
     io.save(p, fmt)

@@ -14,7 +14,7 @@ from tests.conftest import assert_close
 from tpusparse.testing import generators, reference
 
 _FMT = ["sell", "awsp", "bsr", "bell", "binned", "ell", "asp", "tcsr",
-        "tcsr_dense_tier"]
+        "tcsr_dense_tier", "rsell"]
 
 
 def _pack(name, a):
@@ -42,6 +42,10 @@ def _pack(name, a):
         from tpusparse.formats.ell import EllMatrix
 
         return EllMatrix.from_dense(a)
+    if name == "rsell":
+        from tpusparse.formats.rsell import RsellMatrix
+
+        return RsellMatrix.from_dense(a)
     if name.startswith("tcsr"):
         from tpusparse.formats.tcsr import TcsrMatrix
 

@@ -62,11 +62,13 @@ def test_bsr_sharded_spmm_uneven_blocks(mesh8):
                  reference.sgemm_cpu(xb, a), name="bsr_sharded_uneven")
 
 
-def test_sell_sharded_indivisible_raises(mesh8, workload):
+def test_sell_sharded_indivisible_pads(mesh8, workload):
+    # 15 groups over 8 devices: handled by automatic zero-group padding
+    # (r1 raised ValueError here; VERDICT r1 #3 asked for padding)
     a, x, _ = workload
-    s = SellMatrix.from_dense(a[:, :1920])  # 15 groups, not divisible by 8
-    with pytest.raises(ValueError):
-        sell_spmm_sharded(s, x, mesh8, "n")
+    s = SellMatrix.from_dense(a[:, :1920])
+    assert_close(sell_spmm_sharded(s, x, mesh8, "n"),
+                 reference.sgemv_cpu(x, a[:, :1920]), name="sell_pad15")
 
 
 def test_awsp_sharded_n():
@@ -109,3 +111,44 @@ def test_sell_sharded_ring():
     xb = generators.random_sparse_batch(4, 1024, density=0.5, seed=44)
     yb = sell_spmm_sharded(s, xb, mesh, partition="ring")
     assert_close(yb, reference.sgemm_cpu(xb, a), name="sell_ring_spmm")
+
+
+@pytest.mark.parametrize("partition", ["n", "m", "ring"])
+def test_sell_sharded_non_divisible(mesh8, partition):
+    """Divisibility is handled by automatic zero padding (VERDICT r1 #3):
+    nb=7 groups, nt=5 windows over 8 devices."""
+    a = generators.random_sparse_matrix(640, 896, density=0.3, seed=41)
+    x = generators.random_sparse_vector(640, density=0.5, seed=41)
+    s = SellMatrix.from_dense(a)
+    assert_close(sell_spmm_sharded(s, x, mesh8, partition),
+                 reference.sgemv_cpu(x, a),
+                 name=f"sell_sharded_nondiv[{partition}]")
+
+
+def test_sell_sharded_2d_non_divisible():
+    mesh2 = make_mesh({"b": 2, "n": 4}, jax.devices()[:8])
+    a = generators.random_sparse_matrix(512, 640, density=0.3, seed=43)
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=43)
+    s = SellMatrix.from_dense(a)
+    assert_close(sell_spmm_sharded(s, xb, mesh2, "2d"),
+                 reference.sgemm_cpu(xb, a), name="sell_2d_nondiv")
+
+
+def test_bsr_sharded_non_divisible(mesh8):
+    a = generators.random_sparse_matrix(512, 896, density=0.2, seed=45,
+                                        distribution="blocks", block=128)
+    x = generators.random_sparse_vector(512, density=0.5, seed=45)
+    packed = bsr_shard_pack(a, 8, block_m=128)   # nb=7 over 8 shards
+    assert_close(bsr_spmm_sharded(packed, x, mesh8),
+                 reference.sgemv_cpu(x, a), name="bsr_nondiv")
+
+
+def test_awsp_sharded_non_divisible(mesh8):
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.parallel.sparse import awsp_spmm_sharded
+
+    a = generators.random_sparse_matrix(512, 896, density=0.3, seed=47)
+    x = generators.random_sparse_vector(512, density=0.5, seed=47)
+    w = AwspMatrix.from_dense(a, g=2)
+    assert_close(awsp_spmm_sharded(w, x, mesh8),
+                 reference.sgemv_cpu(x, a), name="awsp_nondiv")

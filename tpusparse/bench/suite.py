@@ -59,6 +59,7 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
     from tpusparse.formats.binned import BinnedSellMatrix
     from tpusparse.formats.bsr import BsrMatrix
     from tpusparse.formats.ell import EllMatrix
+    from tpusparse.formats.rsell import RsellMatrix
     from tpusparse.formats.tcsr import TcsrMatrix
     from tpusparse.kernels.asp_spmv import AspMatrix
 
@@ -77,6 +78,9 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
              run=fmt_run),
         dict(name="tcsr_pallas",
              prepare=lambda a: TcsrMatrix.from_dense(a),
+             run=fmt_run),
+        dict(name="rsell_pallas",
+             prepare=lambda a: RsellMatrix.from_dense(a),
              run=fmt_run),
         dict(name="asp_pallas",
              prepare=lambda a: AspMatrix.from_dense(a),

@@ -15,13 +15,14 @@ from tpusparse.formats.awsp import AwspMatrix
 from tpusparse.formats.bell import BellMatrix
 from tpusparse.formats.binned import BinnedSellMatrix
 from tpusparse.formats.bsr import BsrMatrix
+from tpusparse.formats.rsell import RsellMatrix
 from tpusparse.formats.sell import SellMatrix
 from tpusparse.formats.tcsr import TcsrMatrix
 from tpusparse.kernels.asp_spmv import AspMatrix
 
 _KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix,
           "awsp": AwspMatrix, "binned": BinnedSellMatrix, "asp": AspMatrix,
-          "tcsr": TcsrMatrix}
+          "tcsr": TcsrMatrix, "rsell": RsellMatrix}
 
 
 def save(path: str, fmt) -> None:
@@ -94,6 +95,12 @@ def load(path: str):
                 f"{n_expected} — saved with an incompatible tpusparse "
                 f"version; re-pack from the source matrix")
 
+    if kind == "rsell":
+        if len(leaves) == 4:          # packed unsorted: no permute leaves
+            return cls.tree_unflatten(aux, (*leaves, None, None))
+        _expect(7)
+        return cls.tree_unflatten(
+            aux, (*leaves[:5], (leaves[5], leaves[6])))
     if kind == "tcsr":
         own_aux, bsr_aux = aux
         _expect(4 if bsr_aux is None else 7)

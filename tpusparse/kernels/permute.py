@@ -32,23 +32,26 @@ _LANES = 128
 _HB = 8          # output groups per grid step (sublane batch)
 
 
-def permute_plan(perm_src: np.ndarray) -> dict:
+def permute_plan(perm_src: np.ndarray, src_size: int | None = None) -> dict:
     """Pack a static permutation: output lane p sources input lane
     ``perm_src[p]``. Returns oidx/oh padded to a multiple of 8 groups
-    (padding maps to input lane 0 with a zero mask -> zero output)."""
+    (padding maps to input lane 0 with a zero mask -> zero output).
+    ``src_size``: source lane-space size when it differs from the output
+    size (a selecting gather, not a square permutation)."""
     n = perm_src.size
     np_ = round_up(n, _LANES)
     src = np.zeros(np_, dtype=np.int64)
     src[:n] = perm_src
-    nb = np_ // _LANES
-    nbp = round_up(nb, _HB)
+    nb_out = np_ // _LANES
+    nb = round_up(src_size, _LANES) // _LANES if src_size else nb_out
+    nbp = round_up(nb_out, _HB)
     g = src // _LANES                        # source group per output lane
     o = src % _LANES
     oidx = np.zeros((nbp, _LANES), np.int8)
-    oidx[:nb] = o.reshape(nb, _LANES).astype(np.int8)
+    oidx[:nb_out] = o.reshape(nb_out, _LANES).astype(np.int8)
     oh = np.zeros((nbp, nb, _LANES), np.float32)
-    hh = np.repeat(np.arange(nb), _LANES)
-    cc = np.tile(np.arange(_LANES), nb)
+    hh = np.repeat(np.arange(nb_out), _LANES)
+    cc = np.tile(np.arange(_LANES), nb_out)
     oh[hh, g, cc] = 1.0
     if n < np_:                              # padded output lanes -> 0
         dead = np.arange(n, np_)

@@ -45,6 +45,17 @@ def _as_2d(x: Any) -> tuple[jax.Array, bool]:
     return (xj[None, :] if squeeze else xj), squeeze
 
 
+def _pad_axis(arr: jax.Array, axis: int, mult: int) -> jax.Array:
+    """Zero-pad ``axis`` to a multiple of ``mult`` (shard divisibility —
+    padded groups/windows multiply zeros and are sliced off the output)."""
+    pad = -arr.shape[axis] % mult
+    if not pad:
+        return arr
+    widths = [(0, 0)] * arr.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(arr, widths)
+
+
 # ----------------------------- SELL ---------------------------------------
 
 
@@ -64,11 +75,12 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
     nb, nt = s.vals.shape[0], s.vals.shape[1]
     w = s.w
+    idx_l, vals_l = jnp.asarray(s.idx), jnp.asarray(s.vals)
 
     if partition == "n":
         d = mesh.shape["n"]
-        if nb % d:
-            raise ValueError(f"nb={nb} column groups not divisible by {d}")
+        idx_l = _pad_axis(idx_l, 0, d)            # zero column groups
+        vals_l = _pad_axis(vals_l, 0, d)
 
         def f(idx_loc, vals_loc, x_full):
             out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w)
@@ -76,11 +88,12 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P("n"), P("n"), P()),
-                       out_specs=P(None, "n"))(s.idx, s.vals, x2d)
+                       out_specs=P(None, "n"))(idx_l, vals_l, x2d)
     elif partition == "m":
         d = mesh.shape["n"]                       # axis carries M-shards here
-        if nt % d:
-            raise ValueError(f"nt={nt} windows not divisible by {d}")
+        idx_l = _pad_axis(idx_l, 1, d)            # zero contraction windows
+        vals_l = _pad_axis(vals_l, 1, d)
+        x2d = _pad_axis(x2d, 1, idx_l.shape[1] * _LANES)
 
         def f(idx_loc, vals_loc, x_loc):
             out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
@@ -88,7 +101,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P(None, "n"), P(None, "n"), P(None, "n")),
-                       out_specs=P())(s.idx, s.vals, x2d)
+                       out_specs=P())(idx_l, vals_l, x2d)
     elif partition == "ring":
         # shard BOTH dims: each chip owns a column-group slab (nb) and an
         # X window-shard; X shards rotate via ppermute while each chip
@@ -96,9 +109,10 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         # halo exchange overlapped with compute (the ring-attention analog,
         # SURVEY.md §5). Peak memory per chip: format/D + X/D.
         d = mesh.shape["n"]
-        if nb % d or nt % d:
-            raise ValueError(f"nb={nb} or nt={nt} not divisible by {d}")
-        band = nt // d
+        idx_l = _pad_axis(_pad_axis(idx_l, 0, d), 1, d)
+        vals_l = _pad_axis(_pad_axis(vals_l, 0, d), 1, d)
+        x2d = _pad_axis(x2d, 1, idx_l.shape[1] * _LANES)
+        band = idx_l.shape[1] // d
 
         def f(idx_loc, vals_loc, x_loc):
             my = lax.axis_index("n")
@@ -121,11 +135,13 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P("n"), P("n"), P(None, "n")),
-                       out_specs=P(None, "n"))(s.idx, s.vals, x2d)
+                       out_specs=P(None, "n"))(idx_l, vals_l, x2d)
     elif partition == "2d":
         db, dn = mesh.shape["b"], mesh.shape["n"]
-        if nb % dn or x2d.shape[0] % db:
-            raise ValueError(f"nb={nb} % {dn} or batch={x2d.shape[0]} % {db}")
+        idx_l = _pad_axis(idx_l, 0, dn)
+        vals_l = _pad_axis(vals_l, 0, dn)
+        b_real = x2d.shape[0]
+        x2d = _pad_axis(x2d, 0, db)               # zero batch rows
 
         def f(idx_loc, vals_loc, x_loc):
             out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
@@ -133,11 +149,54 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P("n"), P("n"), P("b")),
-                       out_specs=P("b", "n"))(s.idx, s.vals, x2d)
+                       out_specs=P("b", "n"))(idx_l, vals_l, x2d)
+        y = y[:b_real]
     else:
         raise ValueError(f"unknown partition {partition!r}")
 
     y = y[:, :s.shape[1]]
+    return y[0] if squeeze else y
+
+
+# ----------------------------- RSELL ---------------------------------------
+
+
+def rsell_spmm_sharded(shards, x: Any, mesh: Mesh) -> jax.Array:
+    """y = x @ A with ragged-SELL chunk shards over ``mesh`` (output groups
+    assigned per ``formats.rsell.rsell_shard_pack`` — no divisibility
+    requirements; per-shard chunk loads differ and are padded with zero
+    chunks, so traffic imbalance exactly mirrors the work imbalance the
+    assignment chose)."""
+    from tpusparse.kernels.rsell_spmv import rsell_spmm_padded
+
+    x2d, squeeze = _as_2d(x)
+    mp, np_ = shards.padded
+    if x2d.shape[1] != mp:
+        x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+    d = shards.n_shards
+    if mesh.shape["n"] != d:
+        raise ValueError(f"packed for {d} shards, mesh has {mesh.shape['n']}")
+    nb_loc = shards.group_map.shape[1]
+    b = x2d.shape[0]
+
+    def f(cj_loc, ct_loc, idx_loc, vals_loc, x_full):
+        out = rsell_spmm_padded(cj_loc[0], ct_loc[0], idx_loc[0],
+                                vals_loc[0], x_full,
+                                n_padded=nb_loc * _LANES)
+        return out[::_SUB]
+
+    y = _shard_map(f, mesh=mesh, check_vma=False,
+                   in_specs=(P("n"), P("n"), P("n"), P("n"), P()),
+                   out_specs=P(None, "n"))(
+        jnp.asarray(shards.cj), jnp.asarray(shards.ct),
+        jnp.asarray(shards.idx), jnp.asarray(shards.vals), x2d)
+
+    # concat order is (shard, local column); the pack built ONE static
+    # column permutation covering both the shard placement and any
+    # pack-time demand sort — undo it with the permute kernel
+    from tpusparse.kernels.permute import apply_permutation
+
+    y = apply_permutation(y, shards.perm_plan, shards.shape[1])
     return y[0] if squeeze else y
 
 
@@ -162,9 +221,8 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
     xp = jnp.pad(x2d, ((0, 0), (0, rows_tot - x2d.shape[1])))
 
     d = mesh.shape["n"]
-    nb = w.vals.shape[0]
-    if nb % d:
-        raise ValueError(f"nb={nb} column groups not divisible by {d}")
+    idx_l = _pad_axis(jnp.asarray(w.idx), 0, d)   # zero column groups
+    vals_l = _pad_axis(jnp.asarray(w.vals), 0, d)
     width, g = w.w, w.g
 
     def f(plan_full, idx_loc, vals_loc, x_full):
@@ -175,7 +233,7 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
     y = _shard_map(f, mesh=mesh, check_vma=False,
                    in_specs=(P(), P("n"), P("n"), P()),
                    out_specs=P(None, "n"))(
-        jnp.asarray(plan), w.idx, w.vals, xp)
+        jnp.asarray(plan), idx_l, vals_l, xp)
     y = y[:, :w.shape[1]]
     return y[0] if squeeze else y
 
@@ -193,8 +251,8 @@ def bsr_shard_pack(a: np.ndarray, n_shards: int,
     full = bsr_pack(a, block_m=block_m)
     mp, np_ = full["padded"]
     nb = np_ // _LANES
-    if nb % n_shards:
-        raise ValueError(f"nb={nb} not divisible by {n_shards} shards")
+    nb = -(-nb // n_shards) * n_shards            # pad group count to D
+    np_ = nb * _LANES                             # (zero output columns)
     gpd = nb // n_shards                          # groups per device
 
     bi, bj, blocks = full["bi"], full["bj"], full["blocks"]
