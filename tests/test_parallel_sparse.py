@@ -152,3 +152,68 @@ def test_awsp_sharded_non_divisible(mesh8):
     w = AwspMatrix.from_dense(a, g=2)
     assert_close(awsp_spmm_sharded(w, x, mesh8),
                  reference.sgemv_cpu(x, a), name="awsp_nondiv")
+
+
+@pytest.mark.parametrize("partition", ["m", "ring"])
+def test_awsp_sharded_m_ring(mesh8, partition):
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.parallel.sparse import awsp_spmm_sharded
+
+    a = generators.random_sparse_matrix(2048, 512, density=0.3, seed=51)
+    x = generators.random_sparse_vector(2048, density=0.5, seed=51)
+    w = AwspMatrix.from_dense(a, g=1)
+    assert_close(awsp_spmm_sharded(w, x, mesh8, partition=partition),
+                 reference.sgemv_cpu(x, a), name=f"awsp[{partition}]")
+
+
+@pytest.mark.parametrize("partition", ["m", "ring"])
+def test_awsp_sharded_structured_x(mesh8, partition):
+    """Structured activations: only a band of X is live, so per-device
+    plans are RAGGED (some slabs fully dead) — the zero-group padding and
+    local-plan machinery are actually exercised."""
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.parallel.sparse import awsp_spmm_sharded
+
+    a = generators.random_sparse_matrix(2048, 512, density=0.3, seed=53)
+    x = generators.random_sparse_vector(2048, density=0.5, seed=53)
+    x[512:] = 0.0                      # live rows only in slabs 0-1
+    w = AwspMatrix.from_dense(a, g=1)
+    assert_close(awsp_spmm_sharded(w, x, mesh8, partition=partition),
+                 reference.sgemv_cpu(x, a), name=f"awsp_struct[{partition}]")
+
+
+@pytest.mark.parametrize("partition", ["m", "ring"])
+def test_bsr_sharded_m_ring(mesh8, partition):
+    from tpusparse.parallel.sparse import bsr_shard_pack, bsr_spmm_sharded
+
+    a = generators.random_sparse_matrix(1152, 896, density=0.2, seed=55,
+                                        distribution="blocks", block=128)
+    x = generators.random_sparse_vector(1152, density=0.5, seed=55)
+    packed = bsr_shard_pack(a, 8, block_m=128, partition=partition)
+    assert_close(bsr_spmm_sharded(packed, x, mesh8),
+                 reference.sgemv_cpu(x, a), name=f"bsr[{partition}]")
+
+
+def test_bsr_sharded_2d_spmm():
+    from tpusparse.parallel.sparse import bsr_shard_pack, bsr_spmm_sharded
+
+    mesh2 = make_mesh({"b": 2, "n": 4}, jax.devices()[:8])
+    a = generators.random_sparse_matrix(512, 1024, density=0.2, seed=57,
+                                        distribution="blocks", block=128)
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=57)
+    packed = bsr_shard_pack(a, 4, block_m=128)
+    assert_close(bsr_spmm_sharded(packed, xb, mesh2),
+                 reference.sgemm_cpu(xb, a), name="bsr[2d]")
+
+
+def test_binned_sharded_n(mesh8):
+    from tpusparse.formats.binned import BinnedSellMatrix
+    from tpusparse.parallel.sparse import binned_spmm_sharded
+
+    a = generators.random_sparse_matrix(1024, 1408, density=0.2, seed=59,
+                                        distribution="powerlaw")  # nb=11
+    x = generators.random_sparse_vector(1024, density=0.5, seed=59)
+    bm = BinnedSellMatrix.from_dense(a)
+    assert len(bm.widths) >= 2          # a real multi-bucket case
+    assert_close(binned_spmm_sharded(bm, x, mesh8),
+                 reference.sgemv_cpu(x, a), name="binned[n]")

@@ -200,40 +200,180 @@ def rsell_spmm_sharded(shards, x: Any, mesh: Mesh) -> jax.Array:
     return y[0] if squeeze else y
 
 
+# ----------------------------- BINNED ---------------------------------------
+
+
+def binned_spmm_sharded(bm, x: Any, mesh: Mesh) -> jax.Array:
+    """Output-sharded binned SELL: each width bucket's column groups shard
+    over the mesh (zero-group padded — no divisibility requirement), bucket
+    outputs concatenate in pack order, and the pack-time column sort is
+    undone with the static permute kernel — the distributed twin of
+    ``BinnedSellMatrix._run``."""
+    from tpusparse.kernels.permute import apply_permutation
+    from tpusparse.kernels.sell_spmv import sell_spmm_padded
+
+    x2d, squeeze = _as_2d(x)
+    d = mesh.shape["n"]
+    parts = []
+    for bk, w_k in zip(bm.buckets, bm.widths):
+        vals = jnp.asarray(bk["vals"])
+        idx = jnp.asarray(bk["idx"])
+        nbk = vals.shape[0]
+        mp = vals.shape[1] * _LANES
+        xp = x2d if x2d.shape[1] == mp else \
+            jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+        idx_l = _pad_axis(idx, 0, d)
+        vals_l = _pad_axis(vals, 0, d)
+
+        def f(idx_loc, vals_loc, x_full, w_k=w_k):
+            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w_k)
+            return out[::_SUB]
+
+        yk = _shard_map(f, mesh=mesh, check_vma=False,
+                        in_specs=(P("n"), P("n"), P()),
+                        out_specs=P(None, "n"))(idx_l, vals_l, xp)
+        parts.append(yk[:, :nbk * _LANES])        # drop shard-pad groups
+    y_sorted = jnp.concatenate(parts, axis=1)
+    y = apply_permutation(y_sorted, bm.perm_plan, bm.shape[1])
+    return y[0] if squeeze else y
+
+
 # ----------------------------- AWSP ----------------------------------------
 
 
 def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
+                      partition: str = "n",
                       plan: np.ndarray | None = None) -> jax.Array:
-    """y = x @ A with AWSP-format A output-sharded over ``mesh``.
+    """y = x @ A with AWSP-format A sharded over ``mesh``.
 
-    Column groups shard on ``nb``; the activation window-group plan is
-    host-computed once and replicated — every chip skips the same dead
-    window groups of its own column slab, so traffic per chip is
-    (active groups / groups) x (format bytes / D).
+    - ``n``: column groups shard on ``nb``; the activation window-group
+      plan is host-computed once and replicated — every chip skips the same
+      dead window groups of its own column slab, so traffic per chip is
+      (active groups / groups) x (format bytes / D).
+    - ``m``: window groups shard across chips (each chip gets its own zero
+      group + a LOCAL plan over its group slab), partial Ys psum over ICI.
+      Per-device plans pad to the longest with the local zero group; a pad
+      entry re-DMAs that zero group (Mosaic re-issues dynamic-index DMAs),
+      so the traffic overhead equals the activation imbalance — zero on
+      i.i.d. X, bounded by the skew on structured X.
+    - ``ring``: column groups shard on ``nb`` AND X rotates in window-group
+      bands via ppermute, each step consuming the matching band with that
+      band's precomputed plan — activation skip preserved under the ring.
     """
     from tpusparse.kernels.awsp_spmv import awsp_spmm_padded
 
     x2d, squeeze = _as_2d(x)
-    if plan is None:
-        plan = w.plan(np.asarray(x2d))
-    rows_tot = w.vals.shape[1] * _LANES
-    xp = jnp.pad(x2d, ((0, 0), (0, rows_tot - x2d.shape[1])))
-
-    d = mesh.shape["n"]
-    idx_l = _pad_axis(jnp.asarray(w.idx), 0, d)   # zero column groups
-    vals_l = _pad_axis(jnp.asarray(w.vals), 0, d)
     width, g = w.w, w.g
+    d = mesh.shape["n"]
+    ng = w.n_groups
+    ng_loc = -(-ng // d)
 
-    def f(plan_full, idx_loc, vals_loc, x_full):
-        out = awsp_spmm_padded(plan_full, idx_loc, vals_loc, x_full,
-                               w=width, g=g)
-        return out[::_SUB]                        # (B, nb_loc*128)
+    if partition == "n":
+        if plan is None:
+            plan = w.plan(np.asarray(x2d))
+        rows_tot = w.vals.shape[1] * _LANES
+        xp = jnp.pad(x2d, ((0, 0), (0, rows_tot - x2d.shape[1])))
+        idx_l = _pad_axis(jnp.asarray(w.idx), 0, d)   # zero column groups
+        vals_l = _pad_axis(jnp.asarray(w.vals), 0, d)
 
-    y = _shard_map(f, mesh=mesh, check_vma=False,
-                   in_specs=(P(), P("n"), P("n"), P()),
-                   out_specs=P(None, "n"))(
-        jnp.asarray(plan), idx_l, vals_l, xp)
+        def f(plan_full, idx_loc, vals_loc, x_full):
+            out = awsp_spmm_padded(plan_full, idx_loc, vals_loc, x_full,
+                                   w=width, g=g)
+            return out[::_SUB]                        # (B, nb_loc*128)
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P(), P("n"), P("n"), P()),
+                       out_specs=P(None, "n"))(
+            jnp.asarray(plan), idx_l, vals_l, xp)
+    elif partition in ("m", "ring"):
+        if plan is None:
+            plan = w.plan(np.asarray(x2d))
+        plan = np.asarray(plan)
+        plan = plan[plan < ng]                    # drop the empty-X marker
+        # split the REAL groups into d slabs of ng_loc, each with its own
+        # zero group appended (the format keeps one global zero group only)
+        nb = w.vals.shape[0]
+
+        def _per_slab(leaf, fill_shape):
+            real = leaf[:, :ng * g]
+            real = _pad_axis(real, 1, d * ng_loc * g)
+            s5 = real.reshape(nb, d, ng_loc * g, *fill_shape)
+            s5 = jnp.moveaxis(s5, 1, 0)           # (d, nb, ng_loc*G, ...)
+            zpad = [(0, 0)] * s5.ndim
+            zpad[2] = (0, g)                      # per-slab zero group
+            return jnp.pad(s5, zpad)
+
+        idx_s = _per_slab(jnp.asarray(w.idx), (width, _LANES))
+        vals_s = _per_slab(jnp.asarray(w.vals), (width, _LANES))
+        rows_slab = ng_loc * g * _LANES
+        xp = jnp.pad(x2d, ((0, 0),
+                           (0, d * rows_slab - x2d.shape[1])))
+        x_s = jnp.moveaxis(xp.reshape(x2d.shape[0], d, rows_slab), 1, 0)
+        x_s = jnp.pad(x_s, ((0, 0), (0, 0), (0, g * _LANES)))
+
+        # local plans: per slab, the active groups it owns (local ids);
+        # pad with the LOCAL zero group id ng_loc
+        slab_of = plan // ng_loc
+        counts = np.bincount(slab_of, minlength=d)
+        lmax = max(int(counts.max()) if counts.size else 0, 1)
+        plans = np.full((d, lmax), ng_loc, dtype=np.int32)
+        for dd in range(d):
+            loc = plan[slab_of == dd] - dd * ng_loc
+            plans[dd, :loc.size] = loc
+
+        if partition == "m":
+            def f(plan_loc, idx_loc, vals_loc, x_loc):
+                out = awsp_spmm_padded(plan_loc[0], idx_loc[0], vals_loc[0],
+                                       x_loc[0], w=width, g=g)
+                return comm.psum_y(out[::_SUB], "n")
+
+            y = _shard_map(f, mesh=mesh, check_vma=False,
+                           in_specs=(P("n"), P("n"), P("n"), P("n")),
+                           out_specs=P())(
+                jnp.asarray(plans), idx_s, vals_s, x_s)
+        else:                                     # ring
+            # each chip owns a COLUMN slab of every window-group slab and
+            # rotates X slabs, consuming band (my+s)%d with its local plan
+            nbp = -(-nb // d) * d
+            idx_r = _pad_axis(jnp.moveaxis(idx_s, 0, 1)
+                              .reshape(nb, d * (ng_loc + 1) * g, width,
+                                       _LANES), 0, d)
+            vals_r = _pad_axis(jnp.moveaxis(vals_s, 0, 1)
+                               .reshape(nb, d * (ng_loc + 1) * g, width,
+                                        _LANES), 0, d)
+            bandw = (ng_loc + 1) * g
+
+            def f(plans_all, idx_loc, vals_loc, x_loc):
+                my = lax.axis_index("n")
+                b = x_loc.shape[0]
+
+                def step(s, carry):
+                    y, xc = carry
+                    band = (my + s) % d
+                    idx_b = lax.dynamic_slice_in_dim(
+                        idx_loc, band * bandw, bandw, axis=1)
+                    val_b = lax.dynamic_slice_in_dim(
+                        vals_loc, band * bandw, bandw, axis=1)
+                    pl_b = lax.dynamic_index_in_dim(
+                        plans_all, band, 0, keepdims=False)
+                    y = y + awsp_spmm_padded(pl_b, idx_b, val_b, xc,
+                                             w=width, g=g)
+                    return (y, comm.ring_shift(xc, "n", shift=-1))
+
+                y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
+                               x_loc.dtype)
+                y0 = lax.pcast(y0, "n", to="varying")
+                y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
+                return y[::_SUB]
+
+            y = _shard_map(f, mesh=mesh, check_vma=False,
+                           in_specs=(P(), P("n"), P("n"), P(None, "n")),
+                           out_specs=P(None, "n"))(
+                jnp.asarray(plans), idx_r, vals_r,
+                jnp.moveaxis(x_s, 0, 1).reshape(
+                    x2d.shape[0], d * (rows_slab + g * _LANES)))
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
     y = y[:, :w.shape[1]]
     return y[0] if squeeze else y
 
@@ -241,43 +381,100 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
 # ----------------------------- BSR -----------------------------------------
 
 
-def bsr_shard_pack(a: np.ndarray, n_shards: int,
-                   block_m: int = 128) -> dict[str, Any]:
-    """Pack dense A into per-device BSR shards over output groups.
+def _pad_block_lists(per_shard, tbm, pad_bj, dtype):
+    """Rectangularize per-shard (bi, bj, blocks) lists: pad every list to
+    the max length with zero blocks accumulating into ``pad_bj``."""
+    nmax = max(max(len(t[0]) for t in per_shard), 1)
+    k_sh = len(per_shard)
+    bi_s = np.zeros((k_sh, nmax), np.int32)
+    bj_s = np.full((k_sh, nmax), pad_bj, np.int32)
+    blk_s = np.zeros((k_sh, nmax, tbm, _LANES), dtype)
+    for sh, (bi, bj, blk) in enumerate(per_shard):
+        k = len(bi)
+        bi_s[sh, :k] = bi
+        bj_s[sh, :k] = bj
+        blk_s[sh, :k] = blk
+    return bi_s, bj_s, blk_s
 
-    Each device owns nb/D column groups; per-device block lists are padded
-    with explicit zero blocks to the max count so shards stay rectangular.
+
+def bsr_shard_pack(a: np.ndarray, n_shards: int, block_m: int = 128,
+                   partition: str = "n") -> dict[str, Any]:
+    """Pack dense A into per-device BSR shards.
+
+    - ``n``: each device owns ceil(nb/D) output column groups (group count
+      padded — no divisibility requirement).
+    - ``m``: each device owns ceil(mb/D) contraction block-rows; partial Ys
+      psum at run time.
+    - ``ring``: devices own output slabs AND X rotates over contraction
+      bands — block lists are split per (device, band).
+
+    Per-device (per-band) block lists pad with explicit zero blocks to the
+    max count so shards stay rectangular; imbalanced block placement costs
+    zero-block traffic proportional to the imbalance.
     """
+    from tpusparse.formats.bsr import _canonicalize_blocks
+
     full = bsr_pack(a, block_m=block_m)
     mp, np_ = full["padded"]
-    nb = np_ // _LANES
-    nb = -(-nb // n_shards) * n_shards            # pad group count to D
-    np_ = nb * _LANES                             # (zero output columns)
-    gpd = nb // n_shards                          # groups per device
-
-    bi, bj, blocks = full["bi"], full["bj"], full["blocks"]
-    dev = bj // gpd
-    counts = np.bincount(dev, minlength=n_shards)
-    nmax = int(counts.max())
     tbm = full["block_m"]
-    bi_s = np.zeros((n_shards, nmax), np.int32)
-    bj_s = np.zeros((n_shards, nmax), np.int32)
-    blk_s = np.zeros((n_shards, nmax, tbm, _LANES), blocks.dtype)
-    for sh in range(n_shards):
-        sel = dev == sh
-        k = int(sel.sum())
-        bi_s[sh, :k] = bi[sel]
-        bj_s[sh, :k] = bj[sel] - sh * gpd         # local group index
-        # pad slots: zero blocks accumulating into the last local group
-        bj_s[sh, k:] = gpd - 1
-        blk_s[sh, :k] = blocks[sel]
-    return dict(bi=bi_s, bj=bj_s, blocks=blk_s, shape=full["shape"],
-                padded=(mp, np_), block_m=tbm, nnz=full["nnz"],
-                n_shards=n_shards)
+    bi, bj, blocks = full["bi"], full["bj"], full["blocks"]
+    nb = np_ // _LANES
+    mb = mp // tbm
+
+    def _subset(sel, bi_off, bj_off, n_groups_local):
+        bi_l = bi[sel] - bi_off
+        bj_l = bj[sel] - bj_off
+        return _canonicalize_blocks(
+            bi_l, bj_l, lambda order: blocks[sel][order],
+            n_groups_local, tbm, blocks.dtype)
+
+    if partition == "n":
+        nb_pad = -(-nb // n_shards) * n_shards
+        gpd = nb_pad // n_shards
+        dev = bj // gpd
+        shards = [_subset(dev == sh, 0, sh * gpd, gpd)
+                  for sh in range(n_shards)]
+        bi_s, bj_s, blk_s = _pad_block_lists(shards, tbm, gpd - 1, blocks.dtype)
+        return dict(bi=bi_s, bj=bj_s, blocks=blk_s, shape=full["shape"],
+                    padded=(mp, nb_pad * _LANES), block_m=tbm,
+                    nnz=full["nnz"], n_shards=n_shards, partition="n")
+    if partition == "m":
+        mb_pad = -(-mb // n_shards) * n_shards
+        rpd = mb_pad // n_shards
+        dev = bi // rpd
+        shards = [_subset(dev == sh, sh * rpd, 0, nb)
+                  for sh in range(n_shards)]
+        bi_s, bj_s, blk_s = _pad_block_lists(shards, tbm, nb - 1, blocks.dtype)
+        return dict(bi=bi_s, bj=bj_s, blocks=blk_s, shape=full["shape"],
+                    padded=(mb_pad * tbm, np_), block_m=tbm,
+                    nnz=full["nnz"], n_shards=n_shards, partition="m")
+    if partition == "ring":
+        nb_pad = -(-nb // n_shards) * n_shards
+        gpd = nb_pad // n_shards
+        mb_pad = -(-mb // n_shards) * n_shards
+        rpd = mb_pad // n_shards
+        dev = bj // gpd
+        band = bi // rpd
+        cells = [[_subset((dev == sh) & (band == bb), bb * rpd, sh * gpd,
+                          gpd)
+                  for bb in range(n_shards)] for sh in range(n_shards)]
+        flat = [c for row in cells for c in row]
+        bi_s, bj_s, blk_s = _pad_block_lists(flat, tbm, gpd - 1, blocks.dtype)
+        lm = bi_s.shape[1]
+        return dict(bi=bi_s.reshape(n_shards, n_shards, lm),
+                    bj=bj_s.reshape(n_shards, n_shards, lm),
+                    blocks=blk_s.reshape(n_shards, n_shards, lm, tbm,
+                                         _LANES),
+                    shape=full["shape"],
+                    padded=(mb_pad * tbm, nb_pad * _LANES), block_m=tbm,
+                    nnz=full["nnz"], n_shards=n_shards, partition="ring")
+    raise ValueError(f"unknown partition {partition!r}")
 
 
 def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
-    """Output-sharded BSR SpMV/SpMM from ``bsr_shard_pack`` output."""
+    """Sharded BSR SpMV/SpMM from ``bsr_shard_pack`` output. For SpMM over
+    a 2-D ("b", "n") mesh, pack with ``partition='n'`` — X shards over the
+    batch axis (the DP x TP analog)."""
     from tpusparse.kernels.bsr_spmv import bsr_spmm_padded
 
     x2d, squeeze = _as_2d(x)
@@ -287,19 +484,68 @@ def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
     d = packed["n_shards"]
     if mesh.shape["n"] != d:
         raise ValueError(f"packed for {d} shards, mesh has {mesh.shape['n']}")
-    n_local = np_ // d
     block_m = packed["block_m"]
     b = x2d.shape[0]
+    partition = packed.get("partition", "n")
+    bi_a, bj_a, blk_a = (jnp.asarray(packed["bi"]),
+                         jnp.asarray(packed["bj"]),
+                         jnp.asarray(packed["blocks"]))
 
-    def f(bi_loc, bj_loc, blk_loc, x_full):
-        y = bsr_spmm_padded(bi_loc[0], bj_loc[0], blk_loc[0], x_full,
-                            block_m=block_m, n_padded=n_local)
-        return y[:max(b, 1)]                      # (B8 -> B?, n_local)
+    if partition == "n":
+        n_local = np_ // d
+        has_b = "b" in mesh.shape          # 2-D batch x output mesh (SpMM)
+        b_real = b
+        if has_b:
+            x2d = _pad_axis(x2d, 0, mesh.shape["b"])
+            b = x2d.shape[0]
 
-    y = _shard_map(f, mesh=mesh, check_vma=False,
-                   in_specs=(P("n"), P("n"), P("n"), P()),
-                   out_specs=P(None, "n"))(
-        jnp.asarray(packed["bi"]), jnp.asarray(packed["bj"]),
-        jnp.asarray(packed["blocks"]), x2d)
+        def f(bi_loc, bj_loc, blk_loc, x_loc):
+            y = bsr_spmm_padded(bi_loc[0], bj_loc[0], blk_loc[0], x_loc,
+                                block_m=block_m, n_padded=n_local)
+            return y[:x_loc.shape[0]]             # (B8 -> B, n_local)
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P("n"),
+                                 P("b") if has_b else P()),
+                       out_specs=P("b", "n") if has_b else P(None, "n"))(
+            bi_a, bj_a, blk_a, x2d)
+        y = y[:b_real]
+    elif partition == "m":
+        def f(bi_loc, bj_loc, blk_loc, x_loc):
+            y = bsr_spmm_padded(bi_loc[0], bj_loc[0], blk_loc[0], x_loc,
+                                block_m=block_m, n_padded=np_)
+            return comm.psum_y(y[:max(b, 1)], "n")
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P("n"), P(None, "n")),
+                       out_specs=P())(bi_a, bj_a, blk_a, x2d)
+    elif partition == "ring":
+        n_local = np_ // d
+        lm = packed["bi"].shape[-1]
+
+        def f(bi_loc, bj_loc, blk_loc, x_loc):
+            my = lax.axis_index("n")
+            b8 = -(-max(b, 1) // _SUB) * _SUB
+
+            def step(s, carry):
+                y, xc = carry
+                band = (my + s) % d
+                bi_b = lax.dynamic_index_in_dim(bi_loc[0], band, 0, False)
+                bj_b = lax.dynamic_index_in_dim(bj_loc[0], band, 0, False)
+                blk_b = lax.dynamic_index_in_dim(blk_loc[0], band, 0, False)
+                y = y + bsr_spmm_padded(bi_b, bj_b, blk_b, xc,
+                                        block_m=block_m, n_padded=n_local)
+                return (y, comm.ring_shift(xc, "n", shift=-1))
+
+            y0 = jnp.zeros((b8, n_local), x_loc.dtype)
+            y0 = lax.pcast(y0, "n", to="varying")
+            y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
+            return y[:max(b, 1)]
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P("n"), P("n"), P("n"), P(None, "n")),
+                       out_specs=P(None, "n"))(bi_a, bj_a, blk_a, x2d)
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
     y = y[:b, :packed["shape"][1]]
     return y[0] if squeeze else y
