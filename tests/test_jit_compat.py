@@ -72,3 +72,42 @@ def test_spmv_under_jit(fmt):
     # second call with fresh leaves must hit the cache, not retrace-and-fail
     y2 = run(jax.tree_util.tree_map(np.asarray, f), jnp.asarray(x))
     assert_close(y2, reference.sgemv_cpu(x, a), name=f"jit[{fmt}] cached")
+
+
+def test_awsp_traced_plan_warns_once_and_plan_arg_restores_skip():
+    """VERDICT r1 weak #4: jitting over abstract activations must warn (the
+    skip advantage silently degrades), and passing a precomputed static
+    plan restores it under jit."""
+    import warnings
+
+    from tpusparse.formats import awsp as awsp_mod
+    from tpusparse.formats.awsp import AwspMatrix
+
+    a = generators.random_sparse_matrix(512, 256, density=0.3, seed=88)
+    x = generators.random_sparse_vector(512, density=0.5, seed=88).copy()
+    x[128:] = 0.0
+    f = AwspMatrix.from_dense(a, g=1)
+    awsp_mod._warned_traced_plan.discard("AwspMatrix")
+
+    @jax.jit
+    def run(fmt, xv):
+        return fmt.spmv(xv)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        y = run(f, jnp.asarray(x))
+    assert any("visiting every window group" in str(w.message) for w in rec)
+    assert_close(y, reference.sgemv_cpu(x, a), name="awsp traced")
+
+    plan = f.plan(x)
+    assert plan.size == 1                       # only 1 of 4 groups live
+
+    @jax.jit
+    def run_planned(fmt, xv):
+        return fmt.spmv(xv, plan=plan)
+
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        y2 = run_planned(f, jnp.asarray(x))
+    assert not any("visiting every" in str(w.message) for w in rec)
+    assert_close(y2, reference.sgemv_cpu(x, a), name="awsp planned jit")

@@ -119,10 +119,12 @@ def device_time(
     # Enough cycled replicas that well over 128 MB (v5e VMEM) of other
     # traffic passes between two uses of the same replica, so none can stay
     # VMEM-resident (measured: 4x64 MB copies still leak ~10% residency,
-    # 6 copies converge to 98% of spec BW); capped at k2 (beyond that every
-    # iteration has its own copy anyway).
+    # 6 copies converge to 98% of spec BW; mid-size formats needed more —
+    # an 18.8 MB format at a 320 MB pool still read 29% above spec BW, the
+    # 640 MB pool brings it back under the roofline); capped at k2 (beyond
+    # that every iteration has its own copy anyway).
     copies = 6 if bytes_moved is None else max(
-        6, -(-320_000_000 // max(bytes_moved, 1)))
+        6, -(-640_000_000 // max(bytes_moved, 1)))
     replicas = _replicate(fmt, min(k2, copies))
     x = jax.device_put(jnp.asarray(x))
     run1 = _chained(fn, k1)

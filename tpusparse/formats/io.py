@@ -118,5 +118,5 @@ def load(path: str):
     if kind == "asp":
         _expect(1)
         return cls.tree_unflatten(aux, (leaves[0],))
-    _expect(3 if kind == "bsr" else 2)
+    _expect(3 if kind in ("bsr", "bell") else 2)
     return cls.tree_unflatten(aux, tuple(leaves))

@@ -144,13 +144,21 @@ class AspMatrix:
         nt = (self.a_pad.shape[0] - _LANES) // _LANES
         return np.arange(nt, dtype=np.int32)
 
-    def _run(self, x2d) -> jax.Array:
+    def _run(self, x2d, plan: np.ndarray | None = None) -> jax.Array:
         xj = jnp.asarray(x2d)
         b = xj.shape[0]
         # the window plan needs concrete activations; under jit tracing
-        # visit every window (same degenerate case as formats/awsp.py)
-        win = self._full_plan() if isinstance(xj, jax.core.Tracer) \
-            else self.plan(np.asarray(x2d))
+        # visit every window (same degenerate case as formats/awsp.py —
+        # warn once, and accept a precomputed static plan instead)
+        if plan is not None:
+            win = np.asarray(plan)
+        elif isinstance(xj, jax.core.Tracer):
+            from tpusparse.formats.awsp import _warn_traced_plan_once
+
+            _warn_traced_plan_once("AspMatrix")
+            win = self._full_plan()
+        else:
+            win = self.plan(np.asarray(x2d))
         mp_tot, np_ = self.a_pad.shape
         xp = jnp.pad(xj, ((0, round_up(max(b, 1), 8) - b),
                           (0, mp_tot - xj.shape[1])))
@@ -158,8 +166,8 @@ class AspMatrix:
                       block_n=self.block_n, interpret=default_interpret())
         return y[:b, :self.shape[1]]
 
-    def spmv(self, x) -> jax.Array:
-        return self._run(jnp.asarray(x)[None, :])[0]
+    def spmv(self, x, plan: np.ndarray | None = None) -> jax.Array:
+        return self._run(jnp.asarray(x)[None, :], plan=plan)[0]
 
-    def spmm(self, x) -> jax.Array:
-        return self._run(jnp.asarray(x))
+    def spmm(self, x, plan: np.ndarray | None = None) -> jax.Array:
+        return self._run(jnp.asarray(x), plan=plan)

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from tpusparse.kernels.precision import dot3
 from tpusparse.utils import default_interpret
 
 _LANES = 128
@@ -71,24 +72,27 @@ def _expand_bitmap(bmp, block_m: int):
     return ((rep >> shifts.astype(jnp.uint32)) & 1) > 0
 
 
-def _bell_kernel(bmp_ref, val_ref, x_ref, o_ref, *, block_m: int, w: int):
+def _bell_kernel(bmp_ref, car_ref, val_ref, x_ref, o_ref, *, block_m: int,
+                 w: int):
     @pl.when(pl.program_id(1) == 0)
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
     bmp = bmp_ref[0, 0]                                       # (128, BM/32)
+    carries = car_ref[0, 0]                                   # (128, BM/128)
     vals = val_ref[0, 0]                                      # (128, W)
     mask = _expand_bitmap(bmp, block_m)                       # (128, BM)
 
     # Exclusive rank (the reference's __popc(word & prev_mask) idiom,
     # wsp.cu:37) via the MXU: rank = mask @ strict_upper_triangular is exact
     # for 0/1 bf16 inputs because the MXU accumulates in fp32. Mosaic has no
-    # cumsum lowering; this is the TPU-native popcount-ranking.
+    # cumsum lowering; this is the TPU-native popcount-ranking. The CROSS
+    # m-tile carry is converter-precomputed (r2 attempt, ~0.8% extra bytes),
+    # removing the sequential carry chain between m-tiles.
     ci = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
     cj = jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 1)
     strict_ut = (ci < cj).astype(jnp.bfloat16)
 
-    carry = jnp.zeros((_LANES, 1), jnp.float32)
     acc = jnp.zeros(o_ref.shape, jnp.float32)                 # (128, B)
     for t in range(block_m // _LANES):
         sl = slice(t * _LANES, (t + 1) * _LANES)
@@ -96,23 +100,21 @@ def _bell_kernel(bmp_ref, val_ref, x_ref, o_ref, *, block_m: int, w: int):
         m16 = mask_t.astype(jnp.bfloat16)
         rank_local = jnp.dot(m16, strict_ut,
                              preferred_element_type=jnp.float32)
-        rank_t = (rank_local + carry).astype(jnp.int32)
-        carry = carry + rank_local[:, -1:] + mask_t[:, -1:].astype(jnp.float32)
+        rank_t = (rank_local + carries[:, t:t + 1]
+                  .astype(jnp.float32)).astype(jnp.int32)
 
         dense_t = _decompress_tile(vals, mask_t, rank_t, w)
         x_t = x_ref[:, sl]                                    # (B, 128)
-        acc = acc + jax.lax.dot_general(
-            dense_t, x_t,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # 3-pass split-bf16 (kernels/precision.py): fp32 HIGHEST spent 6
+        # MXU passes here and the kernel is not MXU-bound anyway
+        acc = acc + dot3(dense_t, x_t, (((1,), (1,)), ((), ())))
     o_ref[:] += acc.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_m", "w", "interpret"))
 def bell_spmm_padded(
     bitmap: jax.Array,   # (nb, mb, 128, BM/32) uint32
+    carries: jax.Array,  # (nb, mb, 128, BM/128) int32 per-m-tile ranks
     vals: jax.Array,     # (nb, mb, 128, W)
     x: jax.Array,        # (B, M_padded)
     *,
@@ -137,6 +139,8 @@ def bell_spmm_padded(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, _LANES, block_m // 32), lambda j, i: (j, i, 0, 0)),
+            pl.BlockSpec((1, 1, _LANES, block_m // _LANES),
+                         lambda j, i: (j, i, 0, 0)),
             pl.BlockSpec((1, 1, _LANES, w), lambda j, i: (j, i, 0, 0)),
             pl.BlockSpec((b, block_m), lambda j, i: (0, i)),
         ],
@@ -151,4 +155,4 @@ def bell_spmm_padded(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(bitmap, vals, x)
+    )(bitmap, carries, vals, x)
