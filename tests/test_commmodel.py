@@ -1,0 +1,85 @@
+"""The ICI comm model's assumptions vs the actually-lowered programs.
+
+The model (bench/commmodel.py) is analytic; what it must not be is
+fictional: each partition's claimed collective kind is asserted against the
+StableHLO the sharded SpMV actually lowers to on the 8-device mesh, and the
+byte formulas are checked for internal consistency."""
+
+import jax
+import numpy as np
+import pytest
+
+from tpusparse.bench.commmodel import comm_model, report
+from tpusparse.parallel import make_mesh, spmv_sharded
+from tpusparse.parallel.sparse import sell_spmm_sharded
+from tpusparse.formats.sell import SellMatrix
+from tpusparse.testing import generators
+
+_OPS = {"all-reduce": "all_reduce", "collective-permute": "collective_permute"}
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh({"n": 8}, jax.devices()[:8])
+
+
+def _lowered_text(fn, *args):
+    return jax.jit(fn).lower(*args).as_text()
+
+
+@pytest.mark.parametrize("partition", ["n", "m", "ring"])
+def test_model_collectives_match_lowered_dense(mesh8, partition):
+    a = generators.random_sparse_matrix(1024, 1024, density=0.5, seed=1)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=1)
+    txt = _lowered_text(
+        lambda aa, xx: spmv_sharded(aa, xx, mesh=mesh8, partition=partition),
+        a, x)
+    e = comm_model(partition, m=1024, n=1024, n_devices=8)
+    for kind, op in _OPS.items():
+        if kind in e.collectives:
+            assert op in txt, f"{partition}: model claims {kind}, not lowered"
+        else:
+            assert op not in txt, \
+                f"{partition}: lowered {op} the model does not account for"
+
+
+@pytest.mark.parametrize("partition", ["n", "m", "ring"])
+def test_model_collectives_match_lowered_sell(mesh8, partition):
+    a = generators.random_sparse_matrix(1024, 1024, density=0.5, seed=2)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=2)
+    s = SellMatrix.from_dense(a)
+    txt = _lowered_text(
+        lambda idx, vals, xx: sell_spmm_sharded(
+            SellMatrix(idx, vals, s.shape, s.padded, s.w, s.nnz),
+            xx, mesh8, partition),
+        np.asarray(s.idx), np.asarray(s.vals), x)
+    e = comm_model(partition, m=1024, n=1024, n_devices=8,
+                   format_bytes=s.device_bytes())
+    for kind, op in _OPS.items():
+        if kind in e.collectives:
+            assert op in txt
+        else:
+            assert op not in txt
+
+
+def test_model_numbers():
+    # n: perfect; m: comm does not shrink with D (full-width psum); ring:
+    # overlapped — efficient once per-band compute >= chunk transfer
+    en = comm_model("n", m=4096, n=4096, n_devices=8)
+    assert en.efficiency == 1.0 and en.ici_bytes == 0
+    em = comm_model("m", m=4096, n=4096, n_devices=8)
+    assert em.ici_bytes == int(2 * 7 / 8 * 4096 * 4)
+    assert 0 < em.efficiency < 1
+    er = comm_model("ring", m=4096, n=4096, n_devices=8)
+    assert er.ici_bytes == 7 * 4096 * 4
+    # 64 MB slab / 819 GB/s / 8 bands = 10.2 us/band vs 16 KB chunk at
+    # 100 GB/s = 0.16 us: fully overlapped -> ~100%
+    assert er.efficiency > 0.95
+    # batched ring eventually becomes comm-bound
+    er_b = comm_model("ring", m=4096, n=4096, batch=512, n_devices=8)
+    assert er_b.efficiency < er.efficiency
+
+
+def test_report_renders():
+    txt = report(device_counts=(2, 8))
+    assert "weak efficiency" in txt and "D=  8" in txt

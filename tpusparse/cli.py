@@ -138,6 +138,14 @@ def cmd_report(args) -> int:
 
 def cmd_scaling(args) -> int:
     """Weak/strong scaling efficiency over the available device mesh."""
+    if args.model:
+        # analytic ICI comm/overlap model (validated against the lowered
+        # programs in tests/test_commmodel.py) — the quantitative scaling
+        # claim real multi-chip hardware would be checked against
+        from tpusparse.bench.commmodel import report
+
+        print(report(m=args.m, n=args.n, batch=args.batch))
+        return 0
     from tpusparse.bench.scaling import sweep_scaling
 
     counts = None if args.devices == "auto" else tuple(
@@ -183,6 +191,9 @@ def main(argv=None) -> int:
                            choices=["n", "m", "ring"])
             p.add_argument("--devices", default="auto",
                            help="comma-separated device counts, or 'auto'")
+            p.add_argument("--model", action="store_true",
+                           help="print the analytic ICI comm/overlap model "
+                                "instead of measuring")
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)
     if args.cpu:
