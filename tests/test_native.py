@@ -73,3 +73,19 @@ def test_sell_fill_csr_matches_numpy():
     assert p_native["w"] == p_numpy["w"]
     np.testing.assert_array_equal(p_native["vals"], p_numpy["vals"])
     np.testing.assert_array_equal(p_native["idx"], p_numpy["idx"])
+
+
+def test_rsell_pack_native_matches_numpy():
+    from tpusparse.formats.rsell import rsell_pack_csr
+
+    for dist in ("uniform", "powerlaw", "blocks"):
+        a = generators.random_sparse_matrix(640, 512, density=0.2, seed=43,
+                                            distribution=dist)
+        c = CsrMatrix.from_dense(a)
+        ref = rsell_pack_csr(c, use_native=False)
+        nat = rsell_pack_csr(c, use_native=True)
+        assert nat["n_real"] == ref["n_real"] and nat["w_max"] == ref["w_max"]
+        np.testing.assert_array_equal(nat["cj"], ref["cj"])
+        np.testing.assert_array_equal(nat["ct"], ref["ct"])
+        np.testing.assert_array_equal(nat["vals"], ref["vals"])
+        np.testing.assert_array_equal(nat["idx"], ref["idx"])

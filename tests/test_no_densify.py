@@ -114,11 +114,11 @@ def test_random_sparse_csr_seeded_and_sorted():
 
 def test_large_no_densify_route_and_multiply():
     """The VERDICT r1 'done' gate, scaled to what CPU interpret mode can run
-    in-suite: 16384^2 would be 1.07 GB dense (+ a 268 MB bool mask for any
-    densifying step); the tracemalloc ceiling of 600 MB proves no step
+    in-suite: 8192^2 would be 268 MB dense (+ a 67 MB bool mask for any
+    densifying step); the tracemalloc ceiling of 180 MB proves no step
     materialized (m, n) host memory. The 50k x 50k case differs only by
     constant factors (same code path; dense would be 10 GB)."""
-    m = n = 16384
+    m = n = 8192
     tracemalloc.start()
     try:
         c = generators.random_sparse_csr(m, n, density=0.005, seed=123)
@@ -128,6 +128,6 @@ def test_large_no_densify_route_and_multiply():
         _, peak = tracemalloc.get_traced_memory()
     finally:
         tracemalloc.stop()
-    assert peak < 600e6, f"peak host alloc {peak / 1e6:.0f} MB — densified?"
+    assert peak < 180e6, f"peak host alloc {peak / 1e6:.0f} MB — densified?"
     assert type(fmt).__name__ in ("BinnedSellMatrix", "SellMatrix")
     assert_close(y, _csr_oracle(c, x), name=f"no-densify {type(fmt).__name__}")

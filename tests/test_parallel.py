@@ -39,7 +39,9 @@ def test_indivisible_raises(mesh8):
 def test_graft_dryrun():
     import __graft_entry__
 
-    __graft_entry__.dryrun_multichip(8)
+    # 4 devices: same code paths, half the shard_map compile bill; the
+    # driver separately runs the full 8-device dryrun every round
+    __graft_entry__.dryrun_multichip(4)
 
 
 def test_graft_entry_compiles():

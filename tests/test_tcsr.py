@@ -60,12 +60,12 @@ def test_tcsr_two_tier_split():
     Sized so the tier split wins under the exact cost model (tiny tier lists
     fold instead — their missing-group zero tiles outweigh the savings)."""
     rng = np.random.default_rng(7)
-    m = n = 1024
+    m, n = 512, 1024
     a = np.zeros((m, n), np.float32)
     n_dense_tiles = n_sell_tiles = 0
     for g in range(8):                       # every output group gets a mix
         for k, fill in ((0, 0.97), (1, 0.97), (2, 0.08), (3, 0.08)):
-            bi = (g + 2 * k) % 8
+            bi = (g + k) % 4
             tile = rng.uniform(0.1, 1, (128, 128)) * \
                 (rng.random((128, 128)) < fill)
             a[bi * 128:(bi + 1) * 128, g * 128:(g + 1) * 128] = tile

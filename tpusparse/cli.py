@@ -171,8 +171,8 @@ def main(argv=None) -> int:
             # that actually apply
             p.add_argument("--sections", default=None,
                            help="comma list: canonical,powerlaw,lowdensity,"
-                                "structured,spmm,reduced,crossover "
-                                "(default all)")
+                                "structured,spmm,tcsr,floors,reduced,"
+                                "crossover (default all)")
             p.add_argument("--cpu", action="store_true")
             p.set_defaults(fn=fn)
             continue

@@ -30,7 +30,8 @@ _LANES = 128
 _SUB = 8
 
 
-def rsell_pack_csr(csr, sort: bool | str = "auto") -> dict[str, Any]:
+def rsell_pack_csr(csr, sort: bool | str = "auto",
+                   use_native: bool | None = None) -> dict[str, Any]:
     """CsrMatrix -> flat chunk stream. O(nnz + chunk payload) memory.
     Returns per-tile demands too (the shard packer reuses them).
 
@@ -69,6 +70,30 @@ def rsell_pack_csr(csr, sort: bool | str = "auto") -> dict[str, Any]:
     n = csr.shape[1]
     nt, nb = mp // _LANES, np_ // _LANES
     csr = _sorted_rows(csr)
+
+    from tpusparse import native
+
+    if use_native is not False and csr.nnz and \
+            csr.values.dtype == np.float32 and native.available():
+        # C++ fast path (ctypes, OpenMP): demand pass + chunk fill,
+        # bit-identical to the numpy path below (asserted in tests)
+        demand = native.rsell_demand_csr(csr.row_ptr, csr.col_idx, n, nt)
+        flat = demand.ravel()
+        tiles = np.flatnonzero(flat).astype(np.int64)
+        w_jt = flat[tiles].astype(np.int64)
+        tile_chunks = -(-w_jt // _SUB)
+        tile_base = np.concatenate([[0], np.cumsum(tile_chunks)])
+        nchunk = int(tile_base[-1])
+        base_grid = np.zeros(flat.size, np.int64)
+        base_grid[tiles] = tile_base[:-1]
+        vals, idx = native.rsell_fill_csr(
+            csr.row_ptr, csr.col_idx, csr.values, n, nt, base_grid, nchunk)
+        cj = (tiles // nt).astype(np.int32).repeat(tile_chunks)
+        ct = (tiles % nt).astype(np.int32).repeat(tile_chunks)
+        w_max = int(w_jt.max())
+        return _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig,
+                            mp, np_, csr.nnz, inv_perm, perm_plan, tiles,
+                            tile_chunks, w_jt)
 
     r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
     mi = csr.col_idx.astype(np.int64)
@@ -112,6 +137,13 @@ def rsell_pack_csr(csr, sort: bool | str = "auto") -> dict[str, Any]:
         w_jt = np.zeros(0, np.int64)
         w_max = 0
 
+    return _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig, mp,
+                        np_, csr.nnz, inv_perm, perm_plan, tiles,
+                        tile_chunks, w_jt)
+
+
+def _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig, mp, np_, nnz,
+                 inv_perm, perm_plan, tiles, tile_chunks, w_jt):
     if nchunk == 0:                            # kernel needs >= 1 chunk
         cj = np.zeros(1, np.int32)
         ct = np.zeros(1, np.int32)
@@ -125,7 +157,7 @@ def rsell_pack_csr(csr, sort: bool | str = "auto") -> dict[str, Any]:
         vals = np.concatenate([vals, np.zeros((pad, _SUB, _LANES),
                                               vals.dtype)])
     return dict(cj=cj, ct=ct, idx=idx, vals=vals, shape=(m, n_orig),
-                padded=(mp, np_), nnz=int(csr.nnz), n_real=nchunk,
+                padded=(mp, np_), nnz=int(nnz), n_real=nchunk,
                 w_max=w_max, inv_perm=inv_perm, perm_plan=perm_plan,
                 _tiles=tiles, _tile_chunks=tile_chunks, _w_jt=w_jt)
 

@@ -57,13 +57,15 @@ def _dense_kernel(x_ref, a_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n", "interpret"))
+@functools.partial(jax.jit, static_argnames=(
+    "block_m", "block_n", "vmem_limit_mb", "interpret"))
 def dense_pallas(
     a: jax.Array,
     x: jax.Array,
     *,
     block_m: int = 512,
     block_n: int = 1024,
+    vmem_limit_mb: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:
     """Hand-tiled dense GEMV/GEMM in Pallas. x: (m,) or (b, m); a: (m, n)."""
@@ -96,6 +98,10 @@ def dense_pallas(
         out_shape=jax.ShapeDtypeStruct((b, np_), a.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # big-block shapes (>=8 MB: double-buffering alone exceeds the
+            # 16 MB default scoped-vmem budget) need the limit raised
+            vmem_limit_bytes=None if vmem_limit_mb is None
+            else vmem_limit_mb << 20,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * m * n,

@@ -72,6 +72,11 @@ def _declare(lib: ctypes.CDLL) -> None:
     lib.sell_fill_csr.argtypes = [i32p, i32p, fp, i64, i64, i64,
                                   ctypes.c_void_p, ctypes.c_void_p]
     lib.sell_fill_csr.restype = i32
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.rsell_demand_csr.argtypes = [i32p, i32p, i64, i64, i32p]
+    lib.rsell_demand_csr.restype = None
+    lib.rsell_fill_csr.argtypes = [i32p, i32p, fp, i64, i64, i64p, fp, i8p]
+    lib.rsell_fill_csr.restype = None
 
 
 def available() -> bool:
@@ -142,6 +147,38 @@ def sell_fill_csr(row_ptr: np.ndarray, col_idx: np.ndarray,
     if ret < 0:
         raise ValueError(f"w={w} overflowed during native sell_fill_csr")
     return vals, idx, w
+
+
+def rsell_demand_csr(row_ptr: np.ndarray, col_idx: np.ndarray, n: int,
+                     nt: int) -> np.ndarray | None:
+    """(nb, nt) int32 per-tile width demand from CSR arrays, or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    nb = -(-n // 128)
+    demand = np.zeros((nb, nt), np.int32)
+    lib.rsell_demand_csr(row_ptr, col_idx, n, nt, demand)
+    return demand
+
+
+def rsell_fill_csr(row_ptr: np.ndarray, col_idx: np.ndarray,
+                   values: np.ndarray, n: int, nt: int,
+                   tile_chunk_base: np.ndarray,
+                   nchunk: int) -> tuple | None:
+    """(vals, idx) chunk payloads, or None if unavailable (fp32 only)."""
+    lib = _lib()
+    if lib is None or values.dtype != np.float32:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, np.int32)
+    col_idx = np.ascontiguousarray(col_idx, np.int32)
+    values = np.ascontiguousarray(values, np.float32)
+    base = np.ascontiguousarray(tile_chunk_base, np.int64)
+    vals = np.zeros((nchunk, 8, 128), np.float32)
+    idx = np.zeros((nchunk, 8, 128), np.int8)
+    lib.rsell_fill_csr(row_ptr, col_idx, values, n, nt, base, vals, idx)
+    return vals, idx
 
 
 def bell_bitmap(a: np.ndarray, block_m: int) -> np.ndarray | None:

@@ -156,6 +156,69 @@ int32_t sell_fill_csr(const int32_t* row_ptr, const int32_t* col_idx,
 }
 
 // ---------------------------------------------------------------------------
+// RSELL (formats/rsell.py): ragged SELL as a flat stream of 8-slot chunks.
+// Pass 1: per-(group, window) tile width demand over the dense tile grid
+// (nb * nt int32 — e.g. 153k entries at 50k^2, trivial); python derives
+// kept tiles and exclusive chunk bases from it.
+// ---------------------------------------------------------------------------
+
+void rsell_demand_csr(const int32_t* row_ptr, const int32_t* col_idx,
+                      int64_t n, int64_t nt, int32_t* demand) {
+  const int64_t nb = (n + kLanes - 1) / kLanes;
+  std::memset(demand, 0, nb * nt * sizeof(int32_t));
+  // parallel over GROUPS: a demand cell is shared by the 128 columns of
+  // one group, so group-per-thread keeps the max update race-free
+#pragma omp parallel for
+  for (int64_t jb = 0; jb < nb; ++jb) {
+    const int64_t c_end = (jb + 1) * kLanes < n ? (jb + 1) * kLanes : n;
+    for (int64_t c = jb * kLanes; c < c_end; ++c) {
+      int64_t cur_t = -1;
+      int32_t slot = 0;
+      for (int32_t k = row_ptr[c]; k < row_ptr[c + 1]; ++k) {
+        const int64_t t = col_idx[k] / kLanes;
+        if (t != cur_t) {
+          cur_t = t;
+          slot = 0;
+        }
+        ++slot;
+        int32_t* d = demand + jb * nt + t;
+        if (slot > *d) *d = slot;
+      }
+    }
+  }
+}
+
+// Pass 2: fill pre-zeroed chunk arrays. tile_chunk_base[jb*nt + t] is the
+// first chunk index of that tile (python computes it from demand), or -1
+// for empty tiles. Parallel over columns: each column owns disjoint
+// (chunk-sublane, lane r=c%128) cells.
+void rsell_fill_csr(const int32_t* row_ptr, const int32_t* col_idx,
+                    const float* values, int64_t n, int64_t nt,
+                    const int64_t* tile_chunk_base, float* vals,
+                    int8_t* idx) {
+#pragma omp parallel for
+  for (int64_t c = 0; c < n; ++c) {
+    const int64_t jb = c / kLanes;
+    const int64_t r = c % kLanes;
+    int64_t cur_t = -1;
+    int32_t slot = 0;
+    for (int32_t k = row_ptr[c]; k < row_ptr[c + 1]; ++k) {
+      const int64_t m = col_idx[k];
+      const int64_t t = m / kLanes;
+      if (t != cur_t) {
+        cur_t = t;
+        slot = 0;
+      }
+      const int64_t chunk = tile_chunk_base[jb * nt + t] + slot / 8;
+      const int64_t pos = (chunk * 8 + slot % 8) * kLanes + r;
+      vals[pos] = values[k];
+      idx[pos] = static_cast<int8_t>(m % kLanes);
+      ++slot;
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // BELL bitmap (formats/bell.py _mask_to_words): word l % nwords, bit
 // l // nwords, for the pltpu.repeat expansion order.
 //   bitmap[jb, i, r, wd] over blocks of (block_m x 128).

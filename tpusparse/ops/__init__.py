@@ -28,7 +28,8 @@ def _check_compute_format(a: Any) -> None:
         raise TypeError(
             "CsrMatrix is an interchange format (raw row-pointer gathers "
             "are shape-dynamic and uncompilable on TPU); pack it first, "
-            "e.g. SellMatrix.from_csr(csr) or auto_format(csr.to_dense())")
+            "e.g. auto_format(csr) or SellMatrix.from_csr(csr) — every "
+            "compute format packs from CSR without densifying")
 
 
 def spmv(a: Any, x: Any) -> Any:
