@@ -57,7 +57,10 @@ def test_two_process_distributed_spmv():
         port = s.getsockname()[1]
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     worker = os.path.join(root, "tests", "distributed_worker.py")
-    env = {**os.environ, "PYTHONPATH": root}
+    # EXTEND PYTHONPATH (it carries the axon sitecustomize dir; overwriting
+    # it would kill the TPU backend for any non-CPU-forced subprocess)
+    env = {**os.environ,
+           "PYTHONPATH": root + os.pathsep + os.environ.get("PYTHONPATH", "")}
     env.pop("XLA_FLAGS", None)               # worker sets its own
     procs = [subprocess.Popen(
         [sys.executable, worker, str(port), str(i)],

@@ -29,11 +29,14 @@ def test_spmv_sharded(mesh8, workload, partition):
     assert_close(y, y_ref, name=f"spmv_sharded[{partition}]")
 
 
-def test_indivisible_raises(mesh8):
-    a = generators.random_sparse_matrix(516, 1024, density=0.5, seed=5)
+@pytest.mark.parametrize("partition", ["n", "m", "ring"])
+def test_indivisible_pads(mesh8, partition):
+    # r1 raised ValueError here; all partitions now auto-pad (VERDICT r1 #3)
+    a = generators.random_sparse_matrix(516, 1020, density=0.5, seed=5)
     x = generators.random_sparse_vector(516, density=0.5, seed=5)
-    with pytest.raises(ValueError):
-        spmv_sharded(a, x, mesh=mesh8, partition="m")
+    y = spmv_sharded(a, x, mesh=mesh8, partition=partition)
+    assert_close(y, reference.sgemv_cpu(x, a),
+                 name=f"dense_pad[{partition}]")
 
 
 def test_graft_dryrun():

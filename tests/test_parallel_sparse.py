@@ -217,3 +217,18 @@ def test_binned_sharded_n(mesh8):
     assert len(bm.widths) >= 2          # a real multi-bucket case
     assert_close(binned_spmm_sharded(bm, x, mesh8),
                  reference.sgemv_cpu(x, a), name="binned[n]")
+
+
+def test_awsp_prepacked_slabs(mesh8):
+    """Serving-loop path: slabs built once, reused across calls."""
+    from tpusparse.formats.awsp import AwspMatrix
+    from tpusparse.parallel.sparse import awsp_shard_slabs, awsp_spmm_sharded
+
+    a = generators.random_sparse_matrix(2048, 512, density=0.3, seed=61)
+    w = AwspMatrix.from_dense(a, g=1)
+    slabs = awsp_shard_slabs(w, 8, "m")
+    for seed in (61, 62):
+        x = generators.random_sparse_vector(2048, density=0.5, seed=seed)
+        assert_close(awsp_spmm_sharded(w, x, mesh8, partition="m",
+                                       slabs=slabs),
+                     reference.sgemv_cpu(x, a), name=f"awsp slabs {seed}")

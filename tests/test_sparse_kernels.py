@@ -178,3 +178,54 @@ def test_sell_bf16_storage(workload):
     s = SellMatrix.from_dense(a, dtype=jnp.bfloat16)
     assert np.dtype(s.vals.dtype).itemsize == 2
     assert_close(s.spmv(x), y_ref, atol=5e-2, name="sell_bf16")
+
+
+def test_sell_mxu_spmm_matches_oracle():
+    """The decompress-to-dense study kernel (kernels/sell_mxu_spmm.py) —
+    covered here so the additive-scatter invariant (pad slots alias offset
+    0 and must ADD zero, not overwrite) can't regress silently."""
+    import jax.numpy as jnp
+
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.kernels.sell_mxu_spmm import sell_mxu_spmm_padded
+
+    a = generators.random_sparse_matrix(384, 256, density=0.2, seed=61)
+    a[0, :] = 1.0          # guarantee c=0 entries (slot-0/pad collision bait)
+    s = SellMatrix.from_dense(a)
+    for b in (1, 3, 8):
+        xb = generators.random_sparse_batch(b, 384, density=0.5, seed=61)
+        y = np.asarray(sell_mxu_spmm_padded(
+            s.idx, s.vals, jnp.asarray(xb), w=s.w))[:b, :256]
+        y_ref = np.stack([reference.sgemv_cpu(xb[i], a) for i in range(b)])
+        assert_close(y, y_ref, name=f"sell_mxu b={b}")
+
+
+def test_bsell_scan_path(monkeypatch):
+    """Force the TCSR sell tier through the bsell SCAN shape (the huge-N*B
+    fallback with first-visit output init) by shrinking the wide-path VMEM
+    budget to zero."""
+    from tpusparse.formats.tcsr import TcsrMatrix
+    from tpusparse.kernels import bsell_spmv
+
+    from tests.test_tcsr import _blocks_matrix
+
+    monkeypatch.setattr(bsell_spmv, "_WIDE_VMEM_LIMIT", 0)
+    a = _blocks_matrix(0.4, seed=63)          # partial fill -> SELL tier
+    f = TcsrMatrix.from_dense(a)
+    assert f.n_sell > 0
+    x = generators.random_sparse_vector(a.shape[0], density=0.5, seed=63)
+    assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="bsell scan")
+    xb = generators.random_sparse_batch(2, a.shape[0], density=0.5, seed=63)
+    y_ref = np.stack([reference.sgemv_cpu(xb[i], a) for i in range(2)])
+    assert_close(f.spmm(xb), y_ref, name="bsell scan spmm")
+
+
+def test_rsell_vmem_guard(monkeypatch):
+    from tpusparse.formats.rsell import RsellMatrix
+    from tpusparse.kernels import rsell_spmv
+
+    monkeypatch.setattr(rsell_spmv, "_WIDE_VMEM_LIMIT", 0)
+    f = RsellMatrix.from_dense(
+        generators.random_sparse_matrix(256, 256, density=0.2, seed=65))
+    with pytest.raises(ValueError, match="VMEM"):
+        f.spmv(generators.random_sparse_vector(256, density=0.5, seed=65))

@@ -19,9 +19,11 @@ Per-chip times for a (m, n) fp32 workload sharded D ways, weak scaling
   where |Y| = B * n_total * 4 and n_total = n (weak scaling fixes the
   output width per... the m-partition's output is replicated, so |Y| is
   the global output). NOT overlapped (the psum follows the local kernel).
-- ``ring`` (both sharded): D steps; each step overlaps one X-chunk
-  ppermute (|X|/D bytes) with one band's local compute (compute/D).
-  step = max(compute/D, chunk/ici); efficiency = compute / (D * step).
+- ``ring`` (both sharded): D steps; the first D-1 overlap one X-chunk
+  ppermute (|X|/D bytes) with one band's local compute (compute/D), the
+  last consumes its band with no send (the implementations skip the
+  unread final shift). step = max(compute/D, chunk/ici);
+  call = (D-1)*step + compute/D.
 
 The model intentionally charges NO latency/setup constants — it is an
 upper bound on efficiency and a lower bound on comm cost; its role is to
@@ -80,8 +82,8 @@ def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
     elif partition == "ring":
         chunk = batch * m * 4              # one X window-shard per step
         step = max(compute / d, chunk / (ici_gbps * 1e9))
-        ici = int((d - 1) * chunk)         # last step needs no send
-        call = d * step
+        ici = int((d - 1) * chunk)         # the last band skips its send
+        call = (d - 1) * step + compute / d
         coll = ("collective-permute",)
     else:
         raise ValueError(f"unknown partition {partition!r}")

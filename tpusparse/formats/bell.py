@@ -128,17 +128,10 @@ def bell_pack_csr(csr, block_m: int = 512,
     ii, ll = mi // block_m, mi % block_m
 
     # rank within each (column, block) run — entries sorted by (r, mi)
-    if r.size:
-        new_grp = np.empty(r.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (r[1:] != r[:-1]) | (ii[1:] != ii[:-1])
-        grp_start = np.flatnonzero(new_grp)
-        counts = np.diff(np.append(grp_start, r.size))
-        rank = np.arange(r.size) - np.repeat(grp_start, counts)
-        max_nnz = int(counts.max())
-    else:
-        rank = np.zeros(0, dtype=np.int64)
-        max_nnz = 0
+    from tpusparse.formats.csr import segment_ranks
+
+    rank, _, counts = segment_ranks(r, ii)
+    max_nnz = int(counts.max()) if counts.size else 0
     if w is None:
         w = max(round_up(max_nnz, _LANES), _LANES)
     elif max_nnz > w:

@@ -39,6 +39,27 @@ def col_window_widths(csr, window: int = 128) -> np.ndarray:
     return col_w
 
 
+def segment_ranks(key_a: np.ndarray,
+                  key_b: np.ndarray) -> tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]:
+    """Exclusive rank of each entry within its contiguous (key_a, key_b)
+    run: (rank, run_start, run_counts). Entries must already be sorted so
+    equal key pairs are adjacent — true for CSR-of-A.T entry streams sorted
+    by (column, m). The vectorized form of the reference's running
+    popcount cursor (wsp.cu:45-46), shared by every ragged packer."""
+    k = key_a.size
+    if k == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    new_run = np.empty(k, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = (key_a[1:] != key_a[:-1]) | (key_b[1:] != key_b[:-1])
+    run_start = np.flatnonzero(new_run)
+    run_counts = np.diff(np.append(run_start, k))
+    rank = np.arange(k) - np.repeat(run_start, run_counts)
+    return rank, run_start, run_counts
+
+
 def csr_rows_subset(csr, rows: np.ndarray) -> "CsrMatrix":
     """CSR whose row k is ``csr`` row ``rows[k]`` (shape (m, len(rows)));
     entries ``rows[k] >= n`` select empty rows (column padding)."""

@@ -100,13 +100,10 @@ def rsell_pack_csr(csr, sort: bool | str = "auto",
     bi, bj = mi // _LANES, r // _LANES
 
     if r.size:
+        from tpusparse.formats.csr import segment_ranks
+
         # rank within each (column, window) run — entries sorted by (r, mi)
-        new_grp = np.empty(r.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (r[1:] != r[:-1]) | (bi[1:] != bi[:-1])
-        grp_start = np.flatnonzero(new_grp)
-        grp_counts = np.diff(np.append(grp_start, r.size))
-        rank = np.arange(r.size) - np.repeat(grp_start, grp_counts)
+        rank, grp_start, grp_counts = segment_ranks(r, bi)
 
         tkey = bj * nt + bi                    # tiles sorted by (group, win)
         tiles, tinv = np.unique(tkey, return_inverse=True)

@@ -121,23 +121,16 @@ def sell_pack_csr(csr, w: int | None = None,
                 f"(library loaded: {native.available()}, values dtype: "
                 f"{csr.values.dtype} — the native packer is fp32-only)")
 
+    from tpusparse.formats.csr import segment_ranks
+
     row_nnz = csr.row_nnz
     c = np.repeat(np.arange(n, dtype=np.int64), row_nnz)   # output column
     m_idx = csr.col_idx.astype(np.int64)                   # contraction idx
     t = m_idx // _LANES
     off = (m_idx % _LANES).astype(np.int8)
     # entries are sorted by (c, m); rank within each (c, t) run
-    if c.size:
-        new_grp = np.empty(c.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (c[1:] != c[:-1]) | (t[1:] != t[:-1])
-        grp_start = np.flatnonzero(new_grp)
-        counts = np.diff(np.append(grp_start, c.size))
-        rank = np.arange(c.size) - np.repeat(grp_start, counts)
-        max_nnz = int(counts.max())
-    else:
-        rank = np.zeros(0, dtype=np.int64)
-        max_nnz = 0
+    rank, _, counts = segment_ranks(c, t)
+    max_nnz = int(counts.max()) if counts.size else 0
     if w is None:
         w = max(round_up(max_nnz, _SUB), _SUB)
     elif max_nnz > w:

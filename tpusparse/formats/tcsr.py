@@ -151,13 +151,10 @@ def tcsr_pack_csr(csr, expect_batch: int = 1) -> dict[str, Any]:
     idx = np.zeros((ns, w, _LANES), dtype=np.int8)
     vals = np.zeros((ns, w, _LANES), dtype=csr.values.dtype)
     if ns:
+        from tpusparse.formats.csr import segment_ranks
+
         # rank within each (column, window) run — entries sorted by (r, mi)
-        new_grp = np.empty(r.size, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (r[1:] != r[:-1]) | (bi[1:] != bi[:-1])
-        grp_start = np.flatnonzero(new_grp)
-        grp_counts = np.diff(np.append(grp_start, r.size))
-        rank = np.arange(r.size) - np.repeat(grp_start, grp_counts)
+        rank, _, _ = segment_ranks(r, bi)
 
         slot_of_tile = np.full(tiles.size, -1, dtype=np.int64)
         slot_of_tile[sell_tiles] = np.arange(ns)

@@ -69,22 +69,26 @@ def _ring(mesh: Mesh, a, x):
         my = lax.axis_index("n")
         chunk = x_loc.shape[0]
 
-        def step(s, carry):
-            y, xc = carry
-            # xc is X chunk ((my + s) % D) — consume the matching row band.
+        def consume(s, xc):
+            # xc is X chunk ((my + s) % D) — consume the matching row band
             row0 = ((my + s) % d) * chunk
             a_band = lax.dynamic_slice_in_dim(a_loc, row0, chunk, axis=0)
-            y = y + _local_matvec(a_band, xc)
-            # pass the chunk to the left neighbor; receive the next band's.
-            xc = comm.ring_shift(xc, "n", shift=-1)
-            return (y, xc)
+            return _local_matvec(a_band, xc)
+
+        def step(s, carry):
+            y, xc = carry
+            # pass the chunk to the left neighbor; receive the next band's
+            return (y + consume(s, xc), comm.ring_shift(xc, "n", shift=-1))
 
         y0 = jnp.zeros((a_loc.shape[1],), a_loc.dtype)
         # the carry becomes device-varying after the first ppermute; mark the
         # zero init as varying over the axis so scan carry types line up
         y0 = lax.pcast(y0, "n", to="varying")
-        y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
-        return y
+        # D-1 sends only: the last band is consumed without the ring shift
+        # whose result nobody would read (bench/commmodel.py counts exactly
+        # (D-1) chunk transfers per chip)
+        y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
+        return y + consume(d - 1, xc)
 
     return _shard_map(f, mesh=mesh, in_specs=(P(None, "n"), P("n")),
                       out_specs=P("n"))(a, x)
@@ -114,8 +118,14 @@ def spmv_sharded(a: Any, x: Any, mesh: Mesh | None = None,
     a = jnp.asarray(a)
     x = jnp.asarray(x)
     d = mesh.shape["n"]
-    if partition == Partition.N and a.shape[1] % d:
-        raise ValueError(f"N={a.shape[1]} not divisible by mesh size {d}")
+    n_orig = a.shape[1]
+    # non-divisible dims are zero-padded automatically (padded rows multiply
+    # zero X entries; padded output columns are sliced off below)
     if partition in (Partition.M, Partition.RING) and a.shape[0] % d:
-        raise ValueError(f"M={a.shape[0]} not divisible by mesh size {d}")
-    return _spmv_sharded_jit(a, x, mesh, partition)
+        pad = -a.shape[0] % d
+        a = jnp.pad(a, ((0, pad), (0, 0)))
+        x = jnp.pad(x, (0, pad))
+    if partition in (Partition.N, Partition.RING) and a.shape[1] % d:
+        a = jnp.pad(a, ((0, 0), (0, -a.shape[1] % d)))
+    y = _spmv_sharded_jit(a, x, mesh, partition)
+    return y[:n_orig] if y.shape[0] != n_orig else y

@@ -118,20 +118,24 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
             my = lax.axis_index("n")
             b = x_loc.shape[0]
 
-            def step(s, carry):
-                y, xc = carry
+            def consume(s, xc):
                 # xc is X window-shard ((my + s) % D): consume that band
                 t0 = ((my + s) % d) * band
                 idx_b = lax.dynamic_slice_in_dim(idx_loc, t0, band, axis=1)
                 val_b = lax.dynamic_slice_in_dim(vals_loc, t0, band, axis=1)
-                y = y + sell_spmm_padded(idx_b, val_b, xc, w=w)
-                return (y, comm.ring_shift(xc, "n", shift=-1))
+                return sell_spmm_padded(idx_b, val_b, xc, w=w)
+
+            def step(s, carry):
+                y, xc = carry
+                return (y + consume(s, xc),
+                        comm.ring_shift(xc, "n", shift=-1))
 
             y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
                            x_loc.dtype)   # kernel returns x's dtype
             y0 = lax.pcast(y0, "n", to="varying")
-            y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
-            return y[::_SUB]
+            # D-1 sends: the last band skips the unread final ring shift
+            y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
+            return (y + consume(d - 1, xc))[::_SUB]
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P("n"), P("n"), P(None, "n")),
@@ -241,9 +245,46 @@ def binned_spmm_sharded(bm, x: Any, mesh: Mesh) -> jax.Array:
 # ----------------------------- AWSP ----------------------------------------
 
 
+def awsp_shard_slabs(w: "AwspMatrix", n_devices: int,
+                     partition: str) -> tuple:
+    """One-time slab repack for the m/ring partitions: splits the REAL
+    window groups into ``n_devices`` slabs of ceil(ng/D), each with its own
+    zero group appended (the format keeps one global zero group only).
+    Activation-independent — serving loops should build this once and pass
+    it to ``awsp_spmm_sharded(slabs=...)`` instead of paying the
+    O(format-bytes) rearrange per call."""
+    d = n_devices
+    g = w.g
+    ng = w.n_groups
+    ng_loc = -(-ng // d)
+    nb = w.vals.shape[0]
+
+    def _per_slab(leaf, fill_shape):
+        real = leaf[:, :ng * g]
+        real = _pad_axis(real, 1, d * ng_loc * g)
+        s5 = real.reshape(nb, d, ng_loc * g, *fill_shape)
+        s5 = jnp.moveaxis(s5, 1, 0)           # (d, nb, ng_loc*G, ...)
+        zpad = [(0, 0)] * s5.ndim
+        zpad[2] = (0, g)                      # per-slab zero group
+        return jnp.pad(s5, zpad)
+
+    idx_s = _per_slab(jnp.asarray(w.idx), (w.w, _LANES))
+    vals_s = _per_slab(jnp.asarray(w.vals), (w.w, _LANES))
+    if partition == "ring":
+        # each chip owns a COLUMN slab of every window-group slab
+        idx_s = _pad_axis(jnp.moveaxis(idx_s, 0, 1)
+                          .reshape(nb, d * (ng_loc + 1) * g, w.w,
+                                   _LANES), 0, d)
+        vals_s = _pad_axis(jnp.moveaxis(vals_s, 0, 1)
+                           .reshape(nb, d * (ng_loc + 1) * g, w.w,
+                                    _LANES), 0, d)
+    return idx_s, vals_s
+
+
 def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
                       partition: str = "n",
-                      plan: np.ndarray | None = None) -> jax.Array:
+                      plan: np.ndarray | None = None,
+                      slabs: tuple | None = None) -> jax.Array:
     """y = x @ A with AWSP-format A sharded over ``mesh``.
 
     - ``n``: column groups shard on ``nb``; the activation window-group
@@ -290,21 +331,12 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
             plan = w.plan(np.asarray(x2d))
         plan = np.asarray(plan)
         plan = plan[plan < ng]                    # drop the empty-X marker
-        # split the REAL groups into d slabs of ng_loc, each with its own
-        # zero group appended (the format keeps one global zero group only)
         nb = w.vals.shape[0]
-
-        def _per_slab(leaf, fill_shape):
-            real = leaf[:, :ng * g]
-            real = _pad_axis(real, 1, d * ng_loc * g)
-            s5 = real.reshape(nb, d, ng_loc * g, *fill_shape)
-            s5 = jnp.moveaxis(s5, 1, 0)           # (d, nb, ng_loc*G, ...)
-            zpad = [(0, 0)] * s5.ndim
-            zpad[2] = (0, g)                      # per-slab zero group
-            return jnp.pad(s5, zpad)
-
-        idx_s = _per_slab(jnp.asarray(w.idx), (width, _LANES))
-        vals_s = _per_slab(jnp.asarray(w.vals), (width, _LANES))
+        # the slab repack is activation-independent; build once per
+        # (format, mesh, partition) and pass slabs= in serving loops
+        if slabs is None:
+            slabs = awsp_shard_slabs(w, d, partition)
+        idx_s, vals_s = slabs
         rows_slab = ng_loc * g * _LANES
         xp = jnp.pad(x2d, ((0, 0),
                            (0, d * rows_slab - x2d.shape[1])))
@@ -334,21 +366,15 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
         else:                                     # ring
             # each chip owns a COLUMN slab of every window-group slab and
             # rotates X slabs, consuming band (my+s)%d with its local plan
-            nbp = -(-nb // d) * d
-            idx_r = _pad_axis(jnp.moveaxis(idx_s, 0, 1)
-                              .reshape(nb, d * (ng_loc + 1) * g, width,
-                                       _LANES), 0, d)
-            vals_r = _pad_axis(jnp.moveaxis(vals_s, 0, 1)
-                               .reshape(nb, d * (ng_loc + 1) * g, width,
-                                        _LANES), 0, d)
+            # (awsp_shard_slabs already produced the ring layout)
+            idx_r, vals_r = idx_s, vals_s
             bandw = (ng_loc + 1) * g
 
             def f(plans_all, idx_loc, vals_loc, x_loc):
                 my = lax.axis_index("n")
                 b = x_loc.shape[0]
 
-                def step(s, carry):
-                    y, xc = carry
+                def consume(s, xc):
                     band = (my + s) % d
                     idx_b = lax.dynamic_slice_in_dim(
                         idx_loc, band * bandw, bandw, axis=1)
@@ -356,15 +382,20 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
                         vals_loc, band * bandw, bandw, axis=1)
                     pl_b = lax.dynamic_index_in_dim(
                         plans_all, band, 0, keepdims=False)
-                    y = y + awsp_spmm_padded(pl_b, idx_b, val_b, xc,
-                                             w=width, g=g)
-                    return (y, comm.ring_shift(xc, "n", shift=-1))
+                    return awsp_spmm_padded(pl_b, idx_b, val_b, xc,
+                                            w=width, g=g)
+
+                def step(s, carry):
+                    y, xc = carry
+                    return (y + consume(s, xc),
+                            comm.ring_shift(xc, "n", shift=-1))
 
                 y0 = jnp.zeros((b * _SUB, idx_loc.shape[0] * _LANES),
                                x_loc.dtype)
                 y0 = lax.pcast(y0, "n", to="varying")
-                y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
-                return y[::_SUB]
+                # D-1 sends: the final band skips the unread ring shift
+                y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
+                return (y + consume(d - 1, xc))[::_SUB]
 
             y = _shard_map(f, mesh=mesh, check_vma=False,
                            in_specs=(P(), P("n"), P("n"), P(None, "n")),
@@ -527,20 +558,24 @@ def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
             my = lax.axis_index("n")
             b8 = -(-max(b, 1) // _SUB) * _SUB
 
-            def step(s, carry):
-                y, xc = carry
+            def consume(s, xc):
                 band = (my + s) % d
                 bi_b = lax.dynamic_index_in_dim(bi_loc[0], band, 0, False)
                 bj_b = lax.dynamic_index_in_dim(bj_loc[0], band, 0, False)
                 blk_b = lax.dynamic_index_in_dim(blk_loc[0], band, 0, False)
-                y = y + bsr_spmm_padded(bi_b, bj_b, blk_b, xc,
-                                        block_m=block_m, n_padded=n_local)
-                return (y, comm.ring_shift(xc, "n", shift=-1))
+                return bsr_spmm_padded(bi_b, bj_b, blk_b, xc,
+                                       block_m=block_m, n_padded=n_local)
+
+            def step(s, carry):
+                y, xc = carry
+                return (y + consume(s, xc),
+                        comm.ring_shift(xc, "n", shift=-1))
 
             y0 = jnp.zeros((b8, n_local), x_loc.dtype)
             y0 = lax.pcast(y0, "n", to="varying")
-            y, _ = lax.fori_loop(0, d, step, (y0, x_loc))
-            return y[:max(b, 1)]
+            # D-1 sends: the final band skips the unread ring shift
+            y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
+            return (y + consume(d - 1, xc))[:max(b, 1)]
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=(P("n"), P("n"), P("n"), P(None, "n")),

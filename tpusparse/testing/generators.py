@@ -90,8 +90,10 @@ def random_sparse_csr(m: int, n: int, density: float = 0.5, seed: int = 0,
     elif distribution == "powerlaw":
         ranks = np.arange(1, n + 1, dtype=np.float64)
         w = ranks ** (-kw.get("alpha", 1.2))
-        cols = rng.permutation(n)[np.searchsorted(
-            np.cumsum(w / w.sum()), rng.random(target))]
+        # clamp: float rounding can leave cumsum[-1] just under 1.0, and a
+        # draw above it would index out of bounds
+        cols = rng.permutation(n)[np.minimum(np.searchsorted(
+            np.cumsum(w / w.sum()), rng.random(target)), n - 1)]
         rows = rng.integers(0, m, size=target, dtype=np.int64)
         pos = np.unique(cols.astype(np.int64) * m + rows)
         r, mi = pos // m, pos % m
