@@ -285,3 +285,16 @@ def test_scipy_interop():
     x = generators.random_sparse_vector(300, density=0.5, seed=97)
     assert_close(SellMatrix.from_csr(c).spmv(x), _ref.sgemv_cpu(x, a),
                  name="scipy->sell")
+
+
+def test_mtx_ingestion(tmp_path):
+    from tpusparse.formats.csr import CsrMatrix
+
+    p = tmp_path / "t.mtx"
+    p.write_text("%%MatrixMarket matrix coordinate real general\n"
+                 "3 4 5\n1 1 1.5\n2 3 -2.0\n3 4 0.25\n1 4 3.0\n3 1 7.0\n")
+    c = CsrMatrix.from_mtx(str(p))
+    want = np.zeros((3, 4), np.float64)
+    want[0, 0], want[1, 2], want[2, 3], want[0, 3], want[2, 0] = \
+        1.5, -2.0, 0.25, 3.0, 7.0
+    np.testing.assert_array_equal(c.to_dense(), want)

@@ -137,6 +137,14 @@ class CsrMatrix:
                    col_idx=rows.astype(np.int32), values=values)
 
     @classmethod
+    def from_mtx(cls, path: str) -> "CsrMatrix":
+        """MatrixMarket (.mtx) file — the lingua franca of sparse-matrix
+        suites (SuiteSparse etc.); goes through scipy's reader."""
+        from scipy import io as _sio
+
+        return cls.from_scipy(_sio.mmread(path))
+
+    @classmethod
     def from_scipy(cls, sp) -> "CsrMatrix":
         """Any ``scipy.sparse`` matrix. Internally converts to CSC, whose
         (indptr over columns, row indices) layout IS this class's CSR of
