@@ -105,9 +105,9 @@ def _header(dev, hbm, out):
           f"(kernel.hpp:31-48). Reproduce: "
           f"`python -m tpusparse.bench.report` (split long runs across "
           f"timeouts with --sections). The pooled chip is shared: "
-          f"run-to-run contention jitter is ~10% on sub-100 us "
-          f"kernels (6 consecutive dense_xla runs spanned 74-82 us), which is why a few short rows can read slightly "
-          f"above 100% of the spec roofline.\n", file=out)
+          f"run-to-run contention jitter is ~10-20% on sub-100 us "
+          f"kernels (dense_xla spans 80-95 us across sections); rows "
+          f"above 100% of the spec roofline carry a † marker.\n", file=out)
 
 
 def _canonical(out):
@@ -346,8 +346,9 @@ def _crossover(out):
               f"{rd.seconds / rs.seconds:.2f}x |", file=out)
         print(f"  .. d={d}: dense {rd.seconds*1e6:.1f} us, "
               f"sell {rs.seconds*1e6:.1f} us", file=sys.stderr)
-    print("\nThe crossover sits at d ~= 0.55-0.6 — `auto_format`'s density "
-          "threshold (0.6) is this measurement. Above it SELL's 5 bytes/"
+    print("\nThe crossover sits at d ~= 0.65-0.7 (the r2 step-geometry retune "
+          "moved it up from r1's 0.55-0.6) — `auto_format`'s density "
+          "threshold (0.65) is this measurement. Above it SELL's 5 bytes/"
           "slot (+ window-max padding) exceeds dense's 4 bytes/element.\n",
           file=out)
 

@@ -4,7 +4,7 @@ The reference hard-codes which kernel runs (tester.cpp:54-63); a framework
 should route a matrix to the format whose measured regime it falls in
 (crossovers from BENCH.md):
 
-- near-dense (d > 0.6): compression cannot beat streaming dense A — use the
+- near-dense (d > 0.65): compression cannot beat streaming dense A — use the
   ASP window-skip path (dense A + activation skipping; ~dense baseline on
   i.i.d. X, wins on structured X).
 - block-structured (>= 40% of 128x128 tiles empty): TCSR — traffic scales
@@ -101,7 +101,7 @@ def auto_format(a, *, expect_structured_x: bool = False,
     ``a`` may be a dense ndarray or a ``CsrMatrix``: with CSR input both the
     statistics (``matrix_stats_csr``) and every packing branch stay O(nnz)
     in touched memory, except ASP, whose *format* is a reordered dense array
-    (asp.cpp:5-13) — a matrix routed there is >60% dense, where the CSR
+    (asp.cpp:5-13) — a matrix routed there is >65% dense, where the CSR
     triplets already outweigh the dense array.
     """
     from tpusparse.formats.csr import CsrMatrix
@@ -125,7 +125,7 @@ def auto_format(a, *, expect_structured_x: bool = False,
         from tpusparse.kernels.asp_spmv import AspMatrix
 
         return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
-    if s["density"] > 0.6:
+    if s["density"] > 0.65:   # r2 crossover: sell/dense = 0.99x at d=0.7
         from tpusparse.kernels.asp_spmv import AspMatrix
 
         return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
