@@ -136,9 +136,10 @@ def _powerlaw(out):
     _bench_entries(a, x, [e for e in registry(full=True)
                           if e["name"] in names], out)
     print("rsell packs per-TILE widths (binned quantizes to 2-3 bucket "
-          "levels), so it streams the fewest bytes; at this size both fit "
-          "VMEM between grid steps, so latency tracks chunk count more "
-          "than bytes — the byte advantage pays at larger M.\n", file=out)
+          "levels), so it streams the fewest bytes, but per-chunk fixed "
+          "costs keep it latency-bound (measured at 8192^2 too: binned "
+          "3.1x dense vs rsell 2.1x at half the bytes) — rsell's wins "
+          "are capacity/traffic and ragged sharding, not latency.\n", file=out)
 
 
 def _lowdensity(out):
