@@ -33,3 +33,24 @@ def test_unknown_kernel_rejected():
     r = _run(["check", *_TINY, "--kernels", "nope"])
     assert r.returncode != 0
     assert "unknown kernels" in (r.stdout + r.stderr)
+
+
+def test_cli_mtx(tmp_path, capsys):
+    import numpy as np
+
+    from tpusparse.cli import main
+
+    p = tmp_path / "m.mtx"
+    rng = np.random.default_rng(1)
+    rows = rng.integers(0, 256, 900)
+    cols = rng.integers(0, 256, 900)
+    pos = np.unique(rows * 256 + cols)
+    lines = ["%%MatrixMarket matrix coordinate real general",
+             f"256 256 {len(pos)}"]
+    for q in pos:
+        lines.append(f"{q // 256 + 1} {q % 256 + 1} "
+                     f"{rng.uniform(-1, 1):.5f}")
+    p.write_text("\n".join(lines) + "\n")
+    assert main(["mtx", str(p), "--cpu"]) == 0
+    out = capsys.readouterr().out
+    assert "routed to" in out and "OK" in out
