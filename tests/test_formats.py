@@ -298,3 +298,19 @@ def test_mtx_ingestion(tmp_path):
     want[0, 0], want[1, 2], want[2, 3], want[0, 3], want[2, 0] = \
         1.5, -2.0, 0.25, 3.0, 7.0
     np.testing.assert_array_equal(c.to_dense(), want)
+
+
+def test_sell_int8_save_load(tmp_path, dense):
+    from tpusparse.formats import io
+    from tpusparse.formats.sell import SellMatrix
+    from tests.conftest import assert_close
+    from tpusparse.testing import reference as _ref
+
+    s = SellMatrix.from_dense(dense, dtype="int8")
+    p = str(tmp_path / "i8.npz")
+    io.save(p, s)
+    s2 = io.load(p)
+    assert np.asarray(s2.vals).dtype == np.int8 and s2.scales is not None
+    x = generators.random_sparse_vector(dense.shape[0], density=0.5, seed=9)
+    assert_close(s2.spmv(x), _ref.sgemv_cpu(x, dense), atol=1e-1,
+                 name="loaded-sell-int8")

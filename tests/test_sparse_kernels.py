@@ -229,3 +229,23 @@ def test_rsell_vmem_guard(monkeypatch):
         generators.random_sparse_matrix(256, 256, density=0.2, seed=65))
     with pytest.raises(ValueError, match="VMEM"):
         f.spmv(generators.random_sparse_vector(256, density=0.5, seed=65))
+
+
+def test_sell_int8_storage(workload):
+    """int8 value storage with per-column scales (serving): 2 bytes/slot."""
+    import jax.numpy as jnp
+
+    from tpusparse.formats.sell import SellMatrix
+
+    a, x, y_ref = workload
+    s = SellMatrix.from_dense(a, dtype="int8")
+    assert np.asarray(s.vals).dtype == np.int8 and s.scales is not None
+    f32 = SellMatrix.from_dense(a)
+    assert s.device_bytes() < 0.45 * f32.device_bytes()
+    # dequantized round-trip within quantization error
+    assert float(np.abs(s.to_dense() - a).max()) < \
+        float(np.abs(a).max()) / 127 + 1e-6
+    assert_close(s.spmv(x), y_ref, atol=1e-1, name="sell_int8")
+    xb = generators.random_sparse_batch(2, 512, density=0.5, seed=29)
+    assert_close(s.spmm(xb), reference.sgemm_cpu(xb, a), atol=1e-1,
+                 name="sell_int8_spmm")

@@ -304,7 +304,7 @@ def _reduced(out):
     print("| kernel | us | GB/s (own bytes) | % roofline | Gnnz/s | "
           "max abs err |\n|---|---|---|---|---|---|", file=out)
     rows = []
-    for dt in (None, jnp.bfloat16):
+    for dt in (None, jnp.bfloat16, "int8"):
         s = SellMatrix.from_dense(a, dtype=dt)
         import numpy as _np
 
@@ -319,10 +319,10 @@ def _reduced(out):
         sp = f" ({base / r.seconds:.2f}x fp32)" if r is not rows[0][0] else ""
         print(_row(r.name + sp, r, r.bytes_moved) +
               f" {err:.1e} |", file=out)
-    print("\nbf16 quantizes stored values only (fp32 accumulation); abs "
-          "error ~= 4e-3 x sqrt(column nnz) x E|v*x| — outside the 1e-3 "
-          "fp32 contract, opt-in for serving via "
-          "`SellMatrix.from_dense(a, dtype=jnp.bfloat16)`.\n", file=out)
+    print("\nbf16/int8 quantize stored values only (fp32 accumulation; "
+          "int8 adds per-column scales applied after the MXU reduction). "
+          "Both are outside the 1e-3 fp32 contract — serving lanes, "
+          "opt-in via `SellMatrix.from_dense(a, dtype=...)`.\n", file=out)
 
 
 def _crossover(out):

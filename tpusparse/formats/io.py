@@ -95,6 +95,11 @@ def load(path: str):
                 f"{n_expected} — saved with an incompatible tpusparse "
                 f"version; re-pack from the source matrix")
 
+    if kind == "sell":
+        if len(leaves) == 2:          # fp32/bf16 storage: no scales leaf
+            return cls.tree_unflatten(aux, (*leaves, None))
+        _expect(3)                    # int8 storage carries scales
+        return cls.tree_unflatten(aux, tuple(leaves))
     if kind == "rsell":
         if len(leaves) == 4:          # packed unsorted: no permute leaves
             return cls.tree_unflatten(aux, (*leaves, None, None))

@@ -30,6 +30,19 @@ def sell_pack(a: np.ndarray, w: int | None = None,
     x E|v*x| (~6e-2 on the canonical 4096/0.5 workload; accumulation stays
     fp32 in the kernel; see BENCH.md 'reduced precision')."""
     a = np.asarray(a)
+    if dtype is not None and np.dtype(dtype) == np.int8:
+        # symmetric per-output-column int8 quantization (serving lane):
+        # 2 bytes/slot vs fp32's 5; the kernel dequantizes AFTER the
+        # MXU reduction with one per-column scale multiply. abs error
+        # ~= (max|v|_col / 254) * sqrt(col nnz) * E|x| — same order as
+        # bf16 storage; outside the 1e-3 contract, opt-in.
+        p = sell_pack(a, w=w, use_native=use_native)
+        vals = p["vals"]
+        amax = np.abs(vals).max(axis=(1, 2))          # (nb, 128) per column
+        scales = np.maximum(amax, 1e-30) / 127.0
+        p["vals"] = np.rint(vals / scales[:, None, None, :]).astype(np.int8)
+        p["scales"] = scales.astype(np.float32)
+        return p
     if dtype is not None and np.dtype(dtype) != a.dtype:
         p = sell_pack(a, w=w, use_native=use_native)
         p["vals"] = p["vals"].astype(dtype)
@@ -147,21 +160,24 @@ def sell_pack_csr(csr, w: int | None = None,
 
 @jax.tree_util.register_pytree_node_class
 class SellMatrix:
-    def __init__(self, idx: Any, vals: Any, shape, padded, w: int, nnz: int):
+    def __init__(self, idx: Any, vals: Any, shape, padded, w: int, nnz: int,
+                 scales: Any = None):
         self.idx = idx
         self.vals = vals
         self.shape = shape
         self.padded = padded
         self.w = w
         self.nnz = nnz
+        self.scales = scales           # (nb, 128) fp32, int8 storage only
 
     def tree_flatten(self):
-        return ((self.idx, self.vals),
+        return ((self.idx, self.vals, self.scales),
                 (self.shape, self.padded, self.w, self.nnz))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        idx, vals, scales = children
+        return cls(idx, vals, *aux, scales=scales)
 
     def __repr__(self) -> str:
         return (f"SellMatrix(shape={self.shape}, nnz={self.nnz}, "
@@ -171,6 +187,9 @@ class SellMatrix:
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None,
                    dtype: Any = None) -> "SellMatrix":
+        """``dtype=jnp.bfloat16``: half-size value storage; ``dtype='int8'``:
+        2 bytes/slot with per-column scales (see sell_pack). Both keep fp32
+        accumulation; both are outside the 1e-3 contract — serving lanes."""
         return cls(**sell_pack(a, w=w, dtype=dtype))
 
     @classmethod
@@ -180,17 +199,24 @@ class SellMatrix:
 
     def device_bytes(self) -> int:
         vals = self.vals
-        return int(np.prod(vals.shape)) * (vals.dtype.itemsize + 1)
+        total = int(np.prod(vals.shape)) * (vals.dtype.itemsize + 1)
+        if self.scales is not None:
+            total += int(np.prod(self.scales.shape)) * 4
+        return total
 
     def to_dense(self) -> np.ndarray:
         idx = np.asarray(self.idx)
         vals = np.asarray(self.vals)
         nb, nt, w, _ = vals.shape
         mp, np_ = self.padded
-        a = np.zeros((mp, np_), dtype=vals.dtype)
+        out_dtype = np.float32 if self.scales is not None else vals.dtype
+        a = np.zeros((mp, np_), dtype=out_dtype)
         jj, tt, ww, rr = np.nonzero(vals)
+        v = vals[jj, tt, ww, rr]
+        if self.scales is not None:                    # dequantize int8
+            v = v.astype(np.float32) * np.asarray(self.scales)[jj, rr]
         cc = idx[jj, tt, ww, rr].astype(np.int64)
-        a[tt * _LANES + cc, jj * _LANES + rr] = vals[jj, tt, ww, rr]
+        a[tt * _LANES + cc, jj * _LANES + rr] = v
         return a[:self.shape[0], :self.shape[1]]
 
     def _run(self, x2d: jax.Array) -> jax.Array:
@@ -199,7 +225,8 @@ class SellMatrix:
         mp, _ = self.padded
         if x2d.shape[1] != mp:
             x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
-        out = sell_spmm_padded(self.idx, self.vals, x2d, w=self.w)
+        out = sell_spmm_padded(self.idx, self.vals, x2d, w=self.w,
+                               scales=self.scales)
         return out[::_SUB, :self.shape[1]]             # (B, n)
 
     def spmv(self, x: Any) -> jax.Array:

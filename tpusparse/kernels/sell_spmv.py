@@ -39,8 +39,11 @@ _LANES = 128
 _SUB = 8
 
 
-def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
-                 tw: int, jb: int = 1):
+def _sell_kernel(idx_ref, val_ref, x_ref, *rest, w: int, batch: int,
+                 tw: int, jb: int = 1, has_scale: bool = False):
+    scale_ref = rest[0] if has_scale else None
+    o_ref = rest[-1]
+
     @pl.when(pl.program_id(1) == 0)
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
@@ -51,7 +54,7 @@ def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
             acc = jnp.zeros((_SUB, _LANES), jnp.float32)
             for t in range(tw):                           # windows per step
                 idx = idx_ref[jj, t].astype(jnp.int32)    # (W, 128)
-                # bf16 storage dtypes widen here; accumulation stays fp32
+                # bf16/int8 storage dtypes widen here; accumulation is fp32
                 vals = val_ref[jj, t].astype(jnp.float32)  # (W, 128)
                 xw = x_ref[b:b + 1, t * _LANES:(t + 1) * _LANES]
                 xg = jnp.take_along_axis(
@@ -63,6 +66,9 @@ def _sell_kernel(idx_ref, val_ref, x_ref, o_ref, *, w: int, batch: int,
                 # matches fp32 HIGHEST at a third of the MXU passes.
                 acc = acc + dot2_exact_lhs(
                     ones, prod, (((1,), (0,)), ((), ())))
+            if has_scale:       # int8 storage: per-column dequant, once
+                row = pl.program_id(0) * jb + jj
+                acc = acc * scale_ref[pl.dslice(row, 1), :]
             o_ref[b * _SUB:(b + 1) * _SUB,
                   jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 
@@ -77,6 +83,7 @@ def sell_spmm_padded(
     w: int,
     windows_per_step: int = 64,
     col_groups_per_step: int = 1,
+    scales: jax.Array | None = None,   # (nb, 128) int8-storage dequant
     interpret: bool | None = None,
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     # step geometry: 64 windows x 1 column group measured 74.5 us / 94.6%
@@ -94,14 +101,22 @@ def sell_spmm_padded(
     jb = max(d for d in range(min(col_groups_per_step, nb), 0, -1)
              if nb % d == 0)
     grid = (nb // jb, nt // tw)
+    in_specs = [
+        pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
+        pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
+        pl.BlockSpec((b, tw * _LANES), lambda j, t: (0, t)),
+    ]
+    operands = [idx, vals, x]
+    if scales is not None:
+        # whole array resident (nb x 128 fp32 = a few KB): a (jb, 128)
+        # block would violate Mosaic's 8-sublane block minimum at jb < 8
+        in_specs.append(pl.BlockSpec(scales.shape, lambda j, t: (0, 0)))
+        operands.append(scales)
     out = pl.pallas_call(
-        functools.partial(_sell_kernel, w=w, batch=b, tw=tw, jb=jb),
+        functools.partial(_sell_kernel, w=w, batch=b, tw=tw, jb=jb,
+                          has_scale=scales is not None),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
-            pl.BlockSpec((jb, tw, w, _LANES), lambda j, t: (j, t, 0, 0)),
-            pl.BlockSpec((b, tw * _LANES), lambda j, t: (0, t)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((b * _SUB, jb * _LANES), lambda j, t: (0, j)),
         out_shape=jax.ShapeDtypeStruct((b * _SUB, nb * _LANES), x.dtype),
         compiler_params=pltpu.CompilerParams(
@@ -113,5 +128,5 @@ def sell_spmm_padded(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(idx, vals, x)
+    )(*operands)
     return out

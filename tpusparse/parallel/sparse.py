@@ -68,6 +68,11 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
     """
     from tpusparse.kernels.sell_spmv import sell_spmm_padded
 
+    if getattr(s, "scales", None) is not None:
+        raise NotImplementedError(
+            "int8-storage SELL is single-chip only for now (the sharded "
+            "paths do not thread the per-column scales); pack with fp32 or "
+            "bf16 values for sharding")
     x2d, squeeze = _as_2d(x)
     mp, np_ = s.padded
     if x2d.shape[1] != mp:
