@@ -232,3 +232,38 @@ def test_awsp_prepacked_slabs(mesh8):
         assert_close(awsp_spmm_sharded(w, x, mesh8, partition="m",
                                        slabs=slabs),
                      reference.sgemv_cpu(x, a), name=f"awsp slabs {seed}")
+
+
+def test_tcsr_sharded(mesh8):
+    """Both TCSR tiers sharded by output groups (nb=7: non-divisible)."""
+    from tests.test_tcsr import _blocks_matrix
+    from tpusparse.parallel.sparse import tcsr_shard_pack, tcsr_spmm_sharded
+
+    rng = np.random.default_rng(71)
+    a = np.zeros((512, 896), np.float32)                 # nb=7 over 8 devs
+    for g in range(7):                                   # per group: 2 dense
+        for k, fill in ((0, 0.97), (1, 0.97), (2, 0.08), (3, 0.08)):
+            bi = (g + k) % 4                             # + 2 sparse tiles
+            tile = rng.uniform(0.1, 1, (128, 128)) * \
+                (rng.random((128, 128)) < fill)
+            a[bi * 128:(bi + 1) * 128, g * 128:(g + 1) * 128] = tile
+    packed = tcsr_shard_pack(a, 8)
+    assert "vals" in packed and "blocks" in packed       # both tiers live
+    x = generators.random_sparse_vector(512, density=0.5, seed=71)
+    assert_close(tcsr_spmm_sharded(packed, x, mesh8),
+                 reference.sgemv_cpu(x, a), name="tcsr_sharded")
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=72)
+    assert_close(tcsr_spmm_sharded(packed, xb, mesh8),
+                 reference.sgemm_cpu(xb, a), name="tcsr_sharded_spmm")
+
+
+def test_tcsr_sharded_from_csr(mesh8):
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.parallel.sparse import tcsr_shard_pack, tcsr_spmm_sharded
+
+    a = generators.random_sparse_matrix(512, 1024, density=0.2, seed=73,
+                                        distribution="blocks", block=128)
+    packed = tcsr_shard_pack(CsrMatrix.from_dense(a), 8)
+    x = generators.random_sparse_vector(512, density=0.5, seed=73)
+    assert_close(tcsr_spmm_sharded(packed, x, mesh8),
+                 reference.sgemv_cpu(x, a), name="tcsr_sharded_csr")

@@ -414,6 +414,135 @@ def awsp_spmm_sharded(w: "AwspMatrix", x: Any, mesh: Mesh,
     return y[0] if squeeze else y
 
 
+# ----------------------------- TCSR ----------------------------------------
+
+
+def tcsr_shard_pack(a_or_csr, n_shards: int,
+                    expect_batch: int = 1) -> dict[str, Any]:
+    """Shard a TCSR matrix by output column groups: BOTH tiers (SELL-packed
+    tiles and dense blocks) split per device with zero-tile/zero-block
+    padding to rectangular lists. Group counts pad to the device count —
+    no divisibility requirements."""
+    from tpusparse.formats.bsr import _canonicalize_blocks
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.tcsr import TcsrMatrix, _canonicalize_sell_tiles
+
+    f = a_or_csr if isinstance(a_or_csr, TcsrMatrix) else (
+        TcsrMatrix.from_csr(a_or_csr, expect_batch=expect_batch)
+        if isinstance(a_or_csr, CsrMatrix)
+        else TcsrMatrix.from_dense(np.asarray(a_or_csr),
+                                   expect_batch=expect_batch))
+    mp, np_ = f.padded
+    nb = np_ // _LANES
+    nb_pad = -(-nb // n_shards) * n_shards
+    gpd = nb_pad // n_shards
+    out: dict[str, Any] = dict(shape=f.shape, padded=(mp, nb_pad * _LANES),
+                               w=f.w, nnz=f.nnz, n_shards=n_shards,
+                               gpd=gpd)
+
+    if f.n_sell:
+        s_bi = np.asarray(f.s_bi)
+        s_bj = np.asarray(f.s_bj)
+        idx = np.asarray(f.idx)
+        vals = np.asarray(f.vals)
+        dev = s_bj // gpd
+        per = []
+        for sh in range(n_shards):
+            sel = dev == sh
+            per.append(_canonicalize_sell_tiles(
+                s_bi[sel], s_bj[sel] - sh * gpd, idx[sel], vals[sel],
+                gpd, f.w))
+        lmax = max(p[0].size for p in per)
+        sbi = np.zeros((n_shards, lmax), np.int32)
+        sbj = np.full((n_shards, lmax), gpd - 1, np.int32)
+        sidx = np.zeros((n_shards, lmax, f.w, _LANES), np.int8)
+        svals = np.zeros((n_shards, lmax, f.w, _LANES), vals.dtype)
+        for sh, (bi_l, bj_l, idx_l, val_l) in enumerate(per):
+            k = bi_l.size
+            # keep bj non-decreasing: pad slots stay at gpd-1 (zero tiles)
+            sbi[sh, :k] = bi_l
+            sbj[sh, :k] = bj_l
+            sidx[sh, :k] = idx_l
+            svals[sh, :k] = val_l
+        out.update(s_bi=sbi, s_bj=sbj, idx=sidx, vals=svals)
+
+    if f.bsr is not None:
+        b = f.bsr
+        bi = np.asarray(b.bi)
+        bj = np.asarray(b.bj)
+        blocks = np.asarray(b.blocks)
+        dev = bj // gpd
+        shards = []
+        for sh in range(n_shards):
+            sel = dev == sh
+            shards.append(_canonicalize_blocks(
+                bi[sel], bj[sel] - sh * gpd,
+                lambda order, sel=sel: blocks[sel][order],
+                gpd, b.block_m, blocks.dtype))
+        dbi, dbj, dblk = _pad_block_lists(shards, b.block_m, gpd - 1,
+                                          blocks.dtype)
+        out.update(d_bi=dbi, d_bj=dbj, blocks=dblk, block_m=b.block_m)
+    return out
+
+
+def tcsr_spmm_sharded(packed: dict[str, Any], x: Any,
+                      mesh: Mesh) -> jax.Array:
+    """Output-sharded TCSR SpMV/SpMM from ``tcsr_shard_pack`` output: each
+    device runs its SELL-tier tiles (bsell kernel) and dense-tier blocks
+    (bsr kernel) over its own column-group slab; zero steady-state comm."""
+    from tpusparse.kernels.bsell_spmv import bsell_spmm_padded
+    from tpusparse.kernels.bsr_spmv import bsr_spmm_padded
+
+    x2d, squeeze = _as_2d(x)
+    mp, np_ = packed["padded"]
+    if x2d.shape[1] != mp:
+        x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+    d = packed["n_shards"]
+    if mesh.shape["n"] != d:
+        raise ValueError(f"packed for {d} shards, mesh has {mesh.shape['n']}")
+    n_local = packed["gpd"] * _LANES
+    b = x2d.shape[0]
+    has_sell = "vals" in packed
+    has_dense = "blocks" in packed
+    w = packed["w"]
+    block_m = packed.get("block_m", _LANES)
+
+    def f(*args):
+        i = 0
+        y = None
+        if has_sell:
+            sbi, sbj, idx, vals = args[0:4]
+            i = 4
+            out = bsell_spmm_padded(sbi[0], sbj[0], idx[0], vals[0],
+                                    args[-1], w=w, n_padded=n_local)
+            y = out[::_SUB][:b]
+        if has_dense:
+            dbi, dbj, blk = args[i:i + 3]
+            yd = bsr_spmm_padded(dbi[0], dbj[0], blk[0], args[-1],
+                                 block_m=block_m, n_padded=n_local)[:b]
+            y = yd if y is None else y + yd
+        if y is None:
+            y = jnp.zeros((b, n_local), args[-1].dtype)
+        return y
+
+    operands = []
+    specs = []
+    if has_sell:
+        operands += [jnp.asarray(packed[k])
+                     for k in ("s_bi", "s_bj", "idx", "vals")]
+        specs += [P("n")] * 4
+    if has_dense:
+        operands += [jnp.asarray(packed[k])
+                     for k in ("d_bi", "d_bj", "blocks")]
+        specs += [P("n")] * 3
+    operands.append(x2d)
+    specs.append(P())
+    y = _shard_map(f, mesh=mesh, check_vma=False, in_specs=tuple(specs),
+                   out_specs=P(None, "n"))(*operands)
+    y = y[:, :packed["shape"][1]]
+    return y[0] if squeeze else y
+
+
 # ----------------------------- BSR -----------------------------------------
 
 
