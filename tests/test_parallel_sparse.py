@@ -236,7 +236,6 @@ def test_awsp_prepacked_slabs(mesh8):
 
 def test_tcsr_sharded(mesh8):
     """Both TCSR tiers sharded by output groups (nb=7: non-divisible)."""
-    from tests.test_tcsr import _blocks_matrix
     from tpusparse.parallel.sparse import tcsr_shard_pack, tcsr_spmm_sharded
 
     rng = np.random.default_rng(71)

@@ -326,7 +326,7 @@ def _reduced(out):
 
 
 def _crossover(out):
-    """SELL vs dense across densities — auto_format's 0.6 threshold."""
+    """SELL vs dense across densities — auto_format's 0.65 threshold."""
     print("## Density crossover: SELL vs dense "
           "(M=N=4096, uniform, fp32 SpMV)\n", file=out)
     print("density crossover", file=sys.stderr)

@@ -173,9 +173,20 @@ def cmd_mtx(args) -> int:
     print(f"max|err| vs float64 oracle: {err:.3e} "
           f"({'OK' if err <= 1e-3 else 'FAIL'})")
 
+    # time the workload shape the routing was asked for: spmm at --batch>1
+    xt = x if args.batch <= 1 else generators.random_sparse_batch(
+        args.batch, m, density=args.x_density, seed=args.seed)
+    # activation-skip formats need a concrete plan under the jitted timing
+    # chain; the plan for THIS x is the honest serving behavior
+    plan = fmt.plan(xt) if hasattr(fmt, "plan") else None
+    op = "spmv" if args.batch <= 1 else f"spmm[B={args.batch}]"
+
+    def run(f, xx):
+        kw = {} if plan is None else {"plan": plan}
+        return f.spmv(xx, **kw) if xx.ndim == 1 else f.spmm(xx, **kw)
+
     nbytes = fmt.device_bytes()
-    r = device_time(lambda f, xx: f.spmv(xx), fmt, x, name="spmv",
-                    bytes_moved=nbytes, nnz=s["nnz"])
+    r = device_time(run, fmt, xt, name=op, bytes_moved=nbytes, nnz=s["nnz"])
     frac = roofline_fraction(nbytes, r.seconds)
     print(f"{r} | {frac*100:.0f}% of HBM roofline on its own bytes "
           f"({nbytes/1e6:.1f} MB streamed vs {m*n*4/1e6:.1f} MB dense)")

@@ -96,6 +96,11 @@ class AspMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
+    def __repr__(self) -> str:
+        return (f"AspMatrix(shape={self.shape}, block_n={self.block_n}, "
+                f"dense {self.device_bytes() / 1e6:.1f} MB + window-skip "
+                f"plans)")
+
     @classmethod
     def from_dense(cls, a: np.ndarray, block_n: int = 2048) -> "AspMatrix":
         # default block_n: measured 558 GB/s at 512 (256 grid steps pay

@@ -445,6 +445,13 @@ def tcsr_shard_pack(a_or_csr, n_shards: int,
         s_bj = np.asarray(f.s_bj)
         idx = np.asarray(f.idx)
         vals = np.asarray(f.vals)
+        # drop the GLOBAL canonicalization's zero/pad tiles before sharding
+        # (per-shard canonicalization below re-inserts exactly what each
+        # shard needs; carrying both layers would inflate every shard's
+        # padded list length and stream dead zero tiles)
+        live = vals.reshape(vals.shape[0], -1).any(axis=1)
+        s_bi, s_bj = s_bi[live], s_bj[live]
+        idx, vals = idx[live], vals[live]
         dev = s_bj // gpd
         per = []
         for sh in range(n_shards):
@@ -471,6 +478,8 @@ def tcsr_shard_pack(a_or_csr, n_shards: int,
         bi = np.asarray(b.bi)
         bj = np.asarray(b.bj)
         blocks = np.asarray(b.blocks)
+        live = blocks.reshape(blocks.shape[0], -1).any(axis=1)
+        bi, bj, blocks = bi[live], bj[live], blocks[live]
         dev = bj // gpd
         shards = []
         for sh in range(n_shards):
