@@ -69,6 +69,13 @@ class AwspMatrix:
         return cls(*children, *aux)
 
     @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves (formats/io.py hook)."""
+        if len(leaves) != 2:
+            raise ValueError(f"{len(leaves)} leaves, expected 2")
+        return cls.tree_unflatten(aux, tuple(leaves))
+
+    @classmethod
     def _from_pack(cls, p: dict, g: int) -> "AwspMatrix":
         idx, vals = p["idx"], p["vals"]
         nt = vals.shape[1]

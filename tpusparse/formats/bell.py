@@ -176,6 +176,13 @@ class BellMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves (formats/io.py hook)."""
+        if len(leaves) != 3:
+            raise ValueError(f"{len(leaves)} leaves, expected 3")
+        return cls.tree_unflatten(aux, tuple(leaves))
+
     def __repr__(self) -> str:
         return (f"BellMatrix(shape={self.shape}, nnz={self.nnz}, "
                 f"block_m={self.block_m}, w={self.w}, "

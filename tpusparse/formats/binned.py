@@ -68,6 +68,18 @@ class BinnedSellMatrix:
         buckets = [dict(idx=i, vals=v) for i, v in pairs]
         return cls(buckets, inv_perm, perm_plan, *aux)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves (formats/io.py hook): 2 leaves per
+        width bucket + inv_perm + the (oidx, oh) permute plan."""
+        nb = len(aux[-1])                      # widths
+        if len(leaves) != 2 * nb + 3:
+            raise ValueError(f"{len(leaves)} leaves, expected {2 * nb + 3}")
+        pairs = [(leaves[2 * i], leaves[2 * i + 1]) for i in range(nb)]
+        return cls.tree_unflatten(
+            aux, (pairs, leaves[2 * nb], (leaves[2 * nb + 1],
+                                          leaves[2 * nb + 2])))
+
     def __repr__(self) -> str:
         return (f"BinnedSellMatrix(shape={self.shape}, nnz={self.nnz}, "
                 f"widths={self.widths}, {self.device_bytes() / 1e6:.1f} MB)")

@@ -131,6 +131,13 @@ class BsrMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves (formats/io.py hook)."""
+        if len(leaves) != 3:
+            raise ValueError(f"{len(leaves)} leaves, expected 3")
+        return cls.tree_unflatten(aux, tuple(leaves))
+
     def __repr__(self) -> str:
         return (f"BsrMatrix(shape={self.shape}, nnz={self.nnz}, "
                 f"block_m={self.block_m}, blocks={self.n_real}, "

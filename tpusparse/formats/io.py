@@ -43,12 +43,9 @@ def save(path: str, fmt) -> None:
         if arr.dtype.kind == "V" or arr.dtype.name == "bfloat16":
             arr = arr.view(np.uint16)
         arrays[f"leaf{i}"] = arr
-    _, aux = fmt.tree_flatten()
-    if kind == "tcsr":
-        # the dense tier is a nested BsrMatrix pytree; its static aux must
-        # ride along or load() could not rebuild it
-        bsr_aux = None if fmt.bsr is None else tuple(fmt.bsr.tree_flatten()[1])
-        aux = (tuple(aux), bsr_aux)
+    # each format may override the static metadata written to disk (e.g.
+    # TCSR adds its nested dense tier's aux) via the _io_aux hook
+    aux = fmt._io_aux() if hasattr(fmt, "_io_aux") else fmt.tree_flatten()[1]
     np.savez_compressed(path, kind=kind,
                         meta=np.asarray(repr(tuple(aux))),
                         leaf_dtypes=np.asarray(repr(dtypes)), **arrays)
@@ -84,44 +81,13 @@ def load(path: str):
     cls = _KINDS.get(kind)
     if cls is None:
         raise ValueError(f"unknown kind {kind!r} in {path}")
-
-    def _expect(n_expected: int) -> None:
-        # the reconstruction below mirrors each class's tree_flatten leaf
-        # layout; if that layout ever changes, fail loudly instead of
-        # silently mis-pairing arrays from old/new files
-        if len(leaves) != n_expected:
-            raise ValueError(
-                f"{path}: {kind} file has {len(leaves)} leaves, expected "
-                f"{n_expected} — saved with an incompatible tpusparse "
-                f"version; re-pack from the source matrix")
-
-    if kind == "sell":
-        if len(leaves) == 2:          # fp32/bf16 storage: no scales leaf
-            return cls.tree_unflatten(aux, (*leaves, None))
-        _expect(3)                    # int8 storage carries scales
-        return cls.tree_unflatten(aux, tuple(leaves))
-    if kind == "rsell":
-        if len(leaves) == 4:          # packed unsorted: no permute leaves
-            return cls.tree_unflatten(aux, (*leaves, None, None))
-        _expect(7)
-        return cls.tree_unflatten(
-            aux, (*leaves[:5], (leaves[5], leaves[6])))
-    if kind == "tcsr":
-        own_aux, bsr_aux = aux
-        _expect(4 if bsr_aux is None else 7)
-        bsr = None if bsr_aux is None else _KINDS["bsr"].tree_unflatten(
-            tuple(bsr_aux), tuple(leaves[4:7]))
-        return cls.tree_unflatten(tuple(own_aux), (*leaves[:4], bsr))
-    if kind == "binned":
-        widths = aux[-1]
-        nb = len(widths)
-        _expect(2 * nb + 3)
-        pairs = [(leaves[2 * i], leaves[2 * i + 1]) for i in range(nb)]
-        inv_perm = leaves[2 * nb]
-        perm_plan = (leaves[2 * nb + 1], leaves[2 * nb + 2])
-        return cls.tree_unflatten(aux, (pairs, inv_perm, perm_plan))
-    if kind == "asp":
-        _expect(1)
-        return cls.tree_unflatten(aux, (leaves[0],))
-    _expect(3 if kind in ("bsr", "bell") else 2)
-    return cls.tree_unflatten(aux, tuple(leaves))
+    # each class owns its leaf layout via the _io_rebuild hook (which
+    # validates leaf counts and regroups nested/optional children); wrap
+    # its errors with the file context so layout drift fails loudly
+    try:
+        return cls._io_rebuild(aux, leaves)
+    except (ValueError, TypeError) as e:
+        raise ValueError(
+            f"{path}: {kind} file incompatible ({e}) — saved with an "
+            f"incompatible tpusparse version; re-pack from the source "
+            f"matrix") from e

@@ -187,6 +187,16 @@ class RsellMatrix:
         return cls(cj, ct, idx, vals, *aux, inv_perm=inv_perm,
                    perm_plan=perm_plan)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves: unsorted packs drop the permute leaves
+        (None children); sorted packs carry inv_perm + (oidx, oh)."""
+        if len(leaves) == 4:
+            return cls.tree_unflatten(aux, (*leaves, None, None))
+        if len(leaves) != 7:
+            raise ValueError(f"{len(leaves)} leaves, expected 4 or 7")
+        return cls.tree_unflatten(aux, (*leaves[:5], (leaves[5], leaves[6])))
+
     def __repr__(self) -> str:
         return (f"RsellMatrix(shape={self.shape}, nnz={self.nnz}, "
                 f"chunks={self.n_real}, w_max={self.w_max}, "

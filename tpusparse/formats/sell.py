@@ -179,6 +179,16 @@ class SellMatrix:
         idx, vals, scales = children
         return cls(idx, vals, *aux, scales=scales)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves: fp32/bf16 storage has no scales leaf
+        (a None child is dropped by pytree flattening); int8 carries it."""
+        if len(leaves) == 2:
+            return cls.tree_unflatten(aux, (*leaves, None))
+        if len(leaves) != 3:
+            raise ValueError(f"{len(leaves)} leaves, expected 2 or 3")
+        return cls.tree_unflatten(aux, tuple(leaves))
+
     def __repr__(self) -> str:
         return (f"SellMatrix(shape={self.shape}, nnz={self.nnz}, "
                 f"w={self.w}, dtype={np.asarray(self.vals).dtype}, "

@@ -214,6 +214,25 @@ class TcsrMatrix:
         return cls(s_bi, s_bj, idx, vals, w, bsr, shape, padded, nnz,
                    n_sell, n_dense)
 
+    def _io_aux(self):
+        """Static metadata for formats/io.py: own aux + the nested dense
+        tier's aux (or None), so load() can rebuild the BsrMatrix child."""
+        bsr_aux = None if self.bsr is None else \
+            tuple(self.bsr.tree_flatten()[1])
+        return (tuple(self.tree_flatten()[1]), bsr_aux)
+
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        from tpusparse.formats.bsr import BsrMatrix
+
+        own_aux, bsr_aux = aux
+        expected = 4 if bsr_aux is None else 7
+        if len(leaves) != expected:
+            raise ValueError(f"{len(leaves)} leaves, expected {expected}")
+        bsr = None if bsr_aux is None else BsrMatrix.tree_unflatten(
+            tuple(bsr_aux), tuple(leaves[4:7]))
+        return cls.tree_unflatten(tuple(own_aux), (*leaves[:4], bsr))
+
     def __repr__(self) -> str:
         return (f"TcsrMatrix(shape={self.shape}, nnz={self.nnz}, w={self.w}, "
                 f"sell_tiles={self.n_sell}, dense_tiles={self.n_dense}, "

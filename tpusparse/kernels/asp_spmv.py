@@ -96,6 +96,13 @@ class AspMatrix:
     def tree_unflatten(cls, aux, children):
         return cls(children[0], *aux)
 
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        """Rebuild from npz leaves (formats/io.py hook)."""
+        if len(leaves) != 1:
+            raise ValueError(f"{len(leaves)} leaves, expected 1")
+        return cls.tree_unflatten(aux, (leaves[0],))
+
     def __repr__(self) -> str:
         return (f"AspMatrix(shape={self.shape}, block_n={self.block_n}, "
                 f"dense {self.device_bytes() / 1e6:.1f} MB + window-skip "
