@@ -54,3 +54,12 @@ def test_cli_mtx(tmp_path, capsys):
     assert main(["mtx", str(p), "--cpu"]) == 0
     out = capsys.readouterr().out
     assert "routed to" in out and "OK" in out
+
+
+def test_cli_tune_smoke(capsys):
+    from tpusparse.cli import main
+
+    assert main(["tune", "--m", "256", "--n", "256", "--density", "0.3",
+                 "--cpu", "--k1", "2", "--k2", "4", "--reps", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "heuristic default" in out and "best" in out

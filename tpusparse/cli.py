@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -193,6 +194,36 @@ def cmd_mtx(args) -> int:
     return 0 if err <= 1e-3 else 1
 
 
+def cmd_tune(args) -> int:
+    """On-device SELL step-geometry sweep for a workload shape.
+
+    Prints the measured table and the winner; the winner is what plain
+    spmv/spmm calls would pick up in-process (tune cache). Use the printed
+    geometry= value to pin it across processes.
+    """
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.testing import generators
+
+    a = generators.random_sparse_matrix(args.m, args.n, density=args.density,
+                                        seed=args.seed,
+                                        distribution=args.distribution)
+    s = SellMatrix.from_dense(a)
+    if args.batch > 1:
+        x = generators.random_sparse_batch(args.batch, args.m,
+                                           density=args.x_density,
+                                           seed=args.seed)
+    else:
+        x = generators.random_sparse_vector(args.m, density=args.x_density,
+                                            seed=args.seed)
+    print(f"{s!r}, batch={args.batch}")
+    from tpusparse import tune
+
+    nb, nt, w, _ = s.vals.shape
+    print(f"heuristic default: {tune.sell_geometry(nt, nb, w, batch=args.batch)}")
+    print(s.tune(x, k1=args.k1, k2=args.k2, reps=args.reps))
+    return 0
+
+
 def cmd_scaling(args) -> int:
     """Weak/strong scaling efficiency over the available device mesh."""
     if args.model:
@@ -222,7 +253,7 @@ def main(argv=None) -> int:
     for name, fn in [("check", cmd_check), ("bench", cmd_bench),
                      ("headline", cmd_headline), ("profile", cmd_profile),
                      ("scaling", cmd_scaling), ("report", cmd_report),
-                     ("mtx", cmd_mtx)]:
+                     ("mtx", cmd_mtx), ("tune", cmd_tune)]:
         p = sub.add_parser(name)
         if name == "mtx":
             p.add_argument("file", help="MatrixMarket .mtx path")
@@ -248,6 +279,13 @@ def main(argv=None) -> int:
         if name == "bench":
             p.add_argument("--format", default="text",
                            choices=["text", "json", "csv"])
+        if name == "tune":
+            # slope-runner sweep size; defaults suit the real chip, tests
+            # pass tiny values (interpret-mode Pallas on CPU is slow)
+            p.add_argument("--k1", type=int, default=16)
+            p.add_argument("--k2", type=int, default=None,
+                           help="chain length (default: auto from bytes)")
+            p.add_argument("--reps", type=int, default=7)
         if name == "scaling":
             p.add_argument("--mode", default="weak",
                            choices=["weak", "strong"])
@@ -262,10 +300,19 @@ def main(argv=None) -> int:
                                 "instead of measuring")
         p.set_defaults(fn=fn)
     args = parser.parse_args(argv)
-    if args.cpu:
-        import jax
+    import jax
 
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache: geometry sweeps and repeated bench runs
+    # re-lower the same programs; over the axon tunnel each cold compile is
+    # 20-40 s, so warm reruns are the difference between minutes and hours.
+    import tempfile
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(tempfile.gettempdir(),
+                                   "tpusparse-xla-cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
     return args.fn(args)
 
 

@@ -191,7 +191,7 @@ class SellMatrix:
 
     def __repr__(self) -> str:
         return (f"SellMatrix(shape={self.shape}, nnz={self.nnz}, "
-                f"w={self.w}, dtype={np.asarray(self.vals).dtype}, "
+                f"w={self.w}, dtype={np.dtype(self.vals.dtype)}, "
                 f"{self.device_bytes() / 1e6:.1f} MB)")
 
     @classmethod
@@ -229,18 +229,45 @@ class SellMatrix:
         a[tt * _LANES + cc, jj * _LANES + rr] = v
         return a[:self.shape[0], :self.shape[1]]
 
-    def _run(self, x2d: jax.Array) -> jax.Array:
+    def _geometry(self, batch: int) -> tuple[int, int]:
+        """(windows_per_step, col_groups_per_step): the process-wide tuned
+        cache (tune.autotune_sell) if a same-layout sweep ran, else the
+        bytes-targeting heuristic (tune.sell_geometry)."""
+        from tpusparse import tune
+
+        nb, nt, w, _ = self.vals.shape
+        dt = np.dtype(self.vals.dtype)     # no np.asarray: a device-resident
+        cached = tune.lookup(tune.cache_key(self.vals.shape, dt, batch))  # leaf must not be fetched here
+        if cached is not None:
+            return cached
+        return tune.sell_geometry(nt, nb, w, itemsize=dt.itemsize,
+                                  batch=batch)
+
+    def _run(self, x2d: jax.Array,
+             geometry: tuple[int, int] | None = None) -> jax.Array:
         from tpusparse.kernels.sell_spmv import sell_spmm_padded
 
         mp, _ = self.padded
         if x2d.shape[1] != mp:
             x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
+        tw, jb = geometry if geometry is not None else (
+            self._geometry(x2d.shape[0]))
         out = sell_spmm_padded(self.idx, self.vals, x2d, w=self.w,
+                               windows_per_step=tw, col_groups_per_step=jb,
                                scales=self.scales)
         return out[::_SUB, :self.shape[1]]             # (B, n)
 
-    def spmv(self, x: Any) -> jax.Array:
-        return self._run(jnp.asarray(x)[None, :])[0]
+    def spmv(self, x: Any,
+             geometry: tuple[int, int] | None = None) -> jax.Array:
+        return self._run(jnp.asarray(x)[None, :], geometry)[0]
 
-    def spmm(self, x: Any) -> jax.Array:
-        return self._run(jnp.asarray(x))
+    def spmm(self, x: Any,
+             geometry: tuple[int, int] | None = None) -> jax.Array:
+        return self._run(jnp.asarray(x), geometry)
+
+    def tune(self, x: Any, **kwargs) -> "tune.TuneResult":
+        """On-device geometry sweep for this layout; see tune.autotune_sell.
+        Subsequent spmv/spmm calls on any same-layout matrix use the winner."""
+        from tpusparse import tune
+
+        return tune.autotune_sell(self, x, **kwargs)
