@@ -109,25 +109,39 @@ def device_time(
     *,
     name: str = "kernel",
     k1: int = 16,
-    k2: int = 272,
+    k2: int | None = None,
     reps: int = 9,
     bytes_moved: int | None = None,
     flops: int | None = None,
     nnz: int | None = None,
-    estimator: str = "min",
+    estimator: str | None = None,
 ) -> BenchResult:
     """Per-call device seconds for ``fn(fmt, x)`` via the slope method.
 
-    ``estimator="min"`` (default): slope between the min-over-reps totals —
-    right when the chained device time dominates the tunnel RTT (~28 ms,
-    jitter ~±1 ms), because contention and RTT noise only ever ADD time.
+    ``estimator="min"``: slope between the min-over-reps totals — right when
+    the chained device time dominates the tunnel RTT (~28 ms, jitter
+    ~±1 ms), because contention and RTT noise only ever ADD time.
     ``estimator="median"``: median of the per-rep slopes — right for small
     workloads where k2 x t_kernel is comparable to the RTT jitter; min-min
     can then pair a lucky-low T(k2) with a normal T(k1) and return a slope
     below the physical roofline (observed: a 15.7 MB format "measured"
     2.4x spec HBM bandwidth). Median pairs each rep's totals, so RTT
     jitter enters as a zero-mean difference and the median suppresses it.
+
+    Defaults (``k2=None``, ``estimator=None``): when ``bytes_moved`` is
+    known, the chain is scaled so the k1->k2 span carries >= ~8 ms of
+    speed-of-light device work (capped at 576 calls to bound the unrolled
+    jit's trace/compile cost) and the estimator switches to "median" when
+    even the scaled span stays under ~12 ms. Unknown byte counts keep the
+    historical 272/"min" behavior.
     """
+    est_call = None if bytes_moved is None else bytes_moved / 819e9
+    if k2 is None:
+        k2 = 272 if est_call is None else int(
+            min(576, max(272, k1 + 8e-3 / max(est_call, 1e-9))))
+    if estimator is None:
+        estimator = "min" if est_call is None or (
+            (k2 - k1) * est_call >= 12e-3) else "median"
     # Enough cycled replicas that well over 128 MB (v5e VMEM) of other
     # traffic passes between two uses of the same replica, so none can stay
     # VMEM-resident (measured: 4x64 MB copies still leak ~10% residency,

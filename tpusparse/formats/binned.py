@@ -200,6 +200,8 @@ class BinnedSellMatrix:
     def _run(self, x2d: jax.Array) -> jax.Array:
         from tpusparse.kernels.sell_spmv import sell_spmm_padded
 
+        from tpusparse import tune
+
         parts = []
         for b, w in zip(self.buckets, self.widths):
             vals = b["vals"]
@@ -207,7 +209,16 @@ class BinnedSellMatrix:
             xp = x2d
             if xp.shape[1] != mp:
                 xp = jnp.pad(xp, ((0, 0), (0, mp - xp.shape[1])))
-            out = sell_spmm_padded(b["idx"], vals, xp, w=w)
+            # narrow buckets (small w) are exactly where the fixed default
+            # geometry under-fills grid steps; size each bucket's steps by
+            # its own width
+            nbk, ntk = vals.shape[0], vals.shape[1]
+            tw, jb = tune.sell_geometry(
+                ntk, nbk, w, itemsize=np.dtype(vals.dtype).itemsize,
+                batch=x2d.shape[0])
+            out = sell_spmm_padded(b["idx"], vals, xp, w=w,
+                                   windows_per_step=tw,
+                                   col_groups_per_step=jb)
             parts.append(out[::8])                 # (B, nb_k*128)
         y_sorted = jnp.concatenate(parts, axis=1)
         # a 4096-lane jnp.take costs ~20-35 us on TPU (near-serial per

@@ -146,7 +146,12 @@ def _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig, mp, np_, nnz,
         ct = np.zeros(1, np.int32)
         idx = np.zeros((1, _SUB, _LANES), np.int8)
         vals = np.zeros((1, _SUB, _LANES), np.float32)
-    pad = -len(cj) % _SUB if len(cj) >= 64 else 0
+    # step-size alignment: long chunk lists align to 128 so the kernel can
+    # pick a ~1 MB (128-chunk) grid step (divisor snap would otherwise
+    # degrade to 8 on unlucky counts); relative padding <= 12.5%, and zero
+    # chunks multiply zeros into group 0 — harmless
+    align = 128 if len(cj) >= 1024 else _SUB
+    pad = -len(cj) % align if len(cj) >= 64 else 0
     if pad:
         cj = np.concatenate([cj, np.zeros(pad, np.int32)])
         ct = np.concatenate([ct, np.zeros(pad, np.int32)])

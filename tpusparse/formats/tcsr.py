@@ -87,8 +87,9 @@ def _tier_cutoff(w_b: np.ndarray, expect_batch: int,
 def _canonicalize_sell_tiles(s_bi, s_bj, idx, vals, nb: int, w: int):
     """Scan-path invariants (mirrors bsr._canonicalize_blocks): sorted by
     (bj, bi) — already true from np.unique — every output group present
-    (zero tiles inserted), length padded to a multiple of 8 at the last
-    group so bj stays non-decreasing."""
+    (zero tiles inserted), length padded to a step-alignment multiple
+    (8, or 64 for long lists) at the last group so bj stays
+    non-decreasing."""
     missing = np.setdiff1d(np.arange(nb), s_bj)
     if missing.size:
         ins = np.searchsorted(s_bj, missing)
@@ -100,7 +101,8 @@ def _canonicalize_sell_tiles(s_bi, s_bj, idx, vals, nb: int, w: int):
     # pad to a step-size multiple only when the list is long enough for the
     # tiles-per-step geometry to matter (the kernel's kb adapts to any
     # divisor; relative padding stays <= 12.5%)
-    pad = -len(s_bj) % _SUB if len(s_bj) >= 64 else 0
+    align = 64 if len(s_bj) >= 512 else _SUB
+    pad = -len(s_bj) % align if len(s_bj) >= 64 else 0
     if pad:
         s_bi = np.concatenate([s_bi, np.zeros(pad, s_bi.dtype)])
         s_bj = np.concatenate([s_bj, np.full(pad, nb - 1, s_bj.dtype)])

@@ -56,6 +56,19 @@ def _pad_axis(arr: jax.Array, axis: int, mult: int) -> jax.Array:
     return jnp.pad(arr, widths)
 
 
+def _sell_geom(vals_loc: jax.Array, batch: int, w: int) -> dict:
+    """Per-shard step geometry: shards see local (nb, nt), so the
+    bytes-targeting heuristic (tune.sell_geometry) must run on the LOCAL
+    shape — at D=8 an n-shard carries nb/8 column groups and the fixed
+    default would leave grid steps far below the DMA-amortization floor."""
+    from tpusparse import tune
+
+    tw, jb = tune.sell_geometry(
+        vals_loc.shape[1], vals_loc.shape[0], w,
+        itemsize=np.dtype(vals_loc.dtype).itemsize, batch=batch)
+    return dict(windows_per_step=tw, col_groups_per_step=jb)
+
+
 # ----------------------------- SELL ---------------------------------------
 
 
@@ -88,7 +101,8 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         vals_l = _pad_axis(vals_l, 0, d)
 
         def f(idx_loc, vals_loc, x_full):
-            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w)
+            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w,
+                                   **_sell_geom(vals_loc, x_full.shape[0], w))
             return out[::_SUB]                    # (B, nb_loc*128)
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
@@ -101,7 +115,8 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         x2d = _pad_axis(x2d, 1, idx_l.shape[1] * _LANES)
 
         def f(idx_loc, vals_loc, x_loc):
-            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
+            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w,
+                                   **_sell_geom(vals_loc, x_loc.shape[0], w))
             return comm.psum_y(out[::_SUB], "n")
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
@@ -128,7 +143,8 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                 t0 = ((my + s) % d) * band
                 idx_b = lax.dynamic_slice_in_dim(idx_loc, t0, band, axis=1)
                 val_b = lax.dynamic_slice_in_dim(vals_loc, t0, band, axis=1)
-                return sell_spmm_padded(idx_b, val_b, xc, w=w)
+                return sell_spmm_padded(idx_b, val_b, xc, w=w,
+                                        **_sell_geom(val_b, xc.shape[0], w))
 
             def step(s, carry):
                 y, xc = carry
@@ -153,7 +169,8 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         x2d = _pad_axis(x2d, 0, db)               # zero batch rows
 
         def f(idx_loc, vals_loc, x_loc):
-            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w)
+            out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w,
+                                   **_sell_geom(vals_loc, x_loc.shape[0], w))
             return out[::_SUB]
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
@@ -235,7 +252,9 @@ def binned_spmm_sharded(bm, x: Any, mesh: Mesh) -> jax.Array:
         vals_l = _pad_axis(vals, 0, d)
 
         def f(idx_loc, vals_loc, x_full, w_k=w_k):
-            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w_k)
+            out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w_k,
+                                   **_sell_geom(vals_loc, x_full.shape[0],
+                                                w_k))
             return out[::_SUB]
 
         yk = _shard_map(f, mesh=mesh, check_vma=False,

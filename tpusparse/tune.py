@@ -164,21 +164,15 @@ def autotune_sell(s: Any, x: Any, candidates: Sequence[tuple[int, int]]
                                      batch=batch)
     key = cache_key(s.vals.shape, s.vals.dtype, batch)
     nbytes = s.device_bytes()
-    if k2 is None:
-        # Scale the chain so the measured span dominates the tunnel's ~±1 ms
-        # RTT jitter: target >= ~6 ms of device work between k1 and k2,
-        # capped to keep the unrolled-jit trace/compile time sane. Below
-        # the cap the median estimator absorbs the residual jitter.
-        est = nbytes / 819e9                 # speed-of-light per call
-        k2 = int(min(576, max(144, k1 + 6e-3 / max(est, 1e-9))))
     table = []
     for geom in candidates:
         def fn(fmt, xx, _g=geom):
             out = (fmt.spmv if xx.ndim == 1 else fmt.spmm)(xx, geometry=_g)
             return out
+        # k2=None lets the runner scale the chain to the format's bytes and
+        # pick the jitter-appropriate estimator (see device_time docstring)
         r = device_time(fn, s, x, name=f"sell {geom[0]}x{geom[1]}",
-                        k1=k1, k2=k2, reps=reps, estimator="median",
-                        bytes_moved=nbytes * batch)
+                        k1=k1, k2=k2, reps=reps, bytes_moved=nbytes)
         table.append((geom, r.seconds))
     best = min(table, key=lambda t: t[1])[0]
     if use_cache:
