@@ -19,6 +19,16 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Keep the autotune disk cache out of ~/.cache during tests (and isolated
+# from any real tuned values on this machine).
+import tempfile as _tempfile  # noqa: E402
+
+_tune_cache = os.path.join(_tempfile.gettempdir(),
+                           "tpusparse-test-tune-cache.json")
+os.environ["TPUSPARSE_TUNE_CACHE"] = _tune_cache
+if os.path.exists(_tune_cache):
+    os.remove(_tune_cache)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -35,12 +35,34 @@ def test_block_structured_is_tcsr():
         assert type(auto_format(a)).__name__ != "TcsrMatrix"
 
 
-def test_powerlaw_is_binned():
+def test_powerlaw_is_rsell():
+    # small skewed matrix: X/Y fit the rsell wide kernel -> per-tile widths
     a = generators.random_sparse_matrix(1024, 512, density=0.15, seed=4,
                                         distribution="powerlaw")
     s = matrix_stats(a)
     assert s["w_global"] >= 1.5 * s["w_typical"]
-    _check(a, "BinnedSellMatrix")
+    _check(a, "RsellMatrix")
+
+
+def test_skew_falls_back_to_binned_when_rsell_vmem_bound_binds():
+    """rsell's wide kernel holds X and Y whole in VMEM; on a giant matrix
+    the skew branch must fall back to binned once the batch pushes past
+    that budget. Stats are supplied (skew, non-blocky, low density) so only
+    the branch under test varies; the matrix is a real 65536^2 CSR that is
+    never densified."""
+    from tpusparse.formats.csr import CsrMatrix
+
+    n = 65536
+    rng = np.random.default_rng(0)
+    rows = np.sort(rng.integers(0, n, 200))
+    csr = CsrMatrix.from_coo(n, n, rows, rng.integers(0, n, 200),
+                             rng.uniform(-1, 1, 200).astype(np.float32))
+    stats = dict(density=1e-5, nnz=csr.nnz, empty_block_frac=0.0,
+                 w_global=12, w_typical=8.0)
+    f1 = auto_format(csr, expect_batch=1, stats=stats)
+    assert type(f1).__name__ == "RsellMatrix", type(f1).__name__
+    f4 = auto_format(csr, expect_batch=4, stats=stats)
+    assert type(f4).__name__ == "BinnedSellMatrix", type(f4).__name__
 
 
 def test_structured_x_pref_is_awsp():

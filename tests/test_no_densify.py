@@ -81,7 +81,7 @@ def test_auto_format_csr_routes_like_dense():
         (dict(density=0.7, distribution="uniform"), {}, "AspMatrix"),
         (dict(density=0.15, distribution="blocks"), {}, "TcsrMatrix"),
         (dict(density=0.15, distribution="powerlaw"), {},
-         "BinnedSellMatrix"),
+         "RsellMatrix"),
         (dict(density=0.3, distribution="uniform"),
          dict(expect_structured_x=True), "AwspMatrix"),
         (dict(density=0.3, distribution="uniform"), {}, "SellMatrix"),
@@ -129,5 +129,6 @@ def test_large_no_densify_route_and_multiply():
     finally:
         tracemalloc.stop()
     assert peak < 180e6, f"peak host alloc {peak / 1e6:.0f} MB — densified?"
-    assert type(fmt).__name__ in ("BinnedSellMatrix", "SellMatrix")
+    assert type(fmt).__name__ in ("RsellMatrix", "BinnedSellMatrix",
+                                  "SellMatrix")
     assert_close(y, _csr_oracle(c, x), name=f"no-densify {type(fmt).__name__}")

@@ -79,6 +79,21 @@ def test_autotune_measures_caches_and_is_picked_up():
     tune.clear_cache()
 
 
+def test_disk_cache_round_trip():
+    tune.clear_cache(disk=True)
+    a = generators.random_sparse_matrix(256, 256, density=0.3, seed=9)
+    x = generators.random_sparse_vector(256, density=0.5, seed=9)
+    s = SellMatrix.from_dense(a)
+    res = s.tune(x, candidates=[(1, 1), (2, 1)], k1=2, k2=6, reps=1)
+    # simulate a fresh process: wipe memory, allow the disk reload
+    tune._CACHE.clear()
+    tune._DISK_LOADED = False
+    key = tune.cache_key(s.vals.shape, np.asarray(s.vals).dtype, 1)
+    assert tune.lookup(key) == res.geometry
+    assert s._geometry(1) == res.geometry
+    tune.clear_cache(disk=True)
+
+
 def test_cache_key_distinguishes_batch_and_dtype():
     k1 = tune.cache_key((4, 4, 16, 128), np.float32, 1)
     k2 = tune.cache_key((4, 4, 16, 128), np.float32, 8)

@@ -11,7 +11,10 @@ should route a matrix to the format whose measured regime it falls in
   with kept blocks, each stored dense (MXU tier) or SELL-compressed
   (bytes ∝ in-block nnz) per the tcsr cost model.
 - skewed columns (a few heavy columns force the global SELL width to >= 1.5x
-  the typical column group's need): binned SELL — per-bucket widths.
+  the typical column group's need): RSELL — per-tile widths, the measured
+  skew winner on latency AND bytes — when X and Y fit its whole-in-VMEM
+  wide kernel at the expected batch; binned SELL (per-bucket widths,
+  tiled output) otherwise.
 - otherwise: SELL (flat), or AWSP (SELL + activation window-group skip) when
   the caller expects structured activations.
 """
@@ -138,6 +141,20 @@ def auto_format(a, *, expect_structured_x: bool = False,
         return TcsrMatrix.from_csr(a, expect_batch=expect_batch) if is_csr \
             else TcsrMatrix.from_dense(a, expect_batch=expect_batch)
     if s["w_typical"] > 0 and s["w_global"] >= 1.5 * s["w_typical"]:
+        # RSELL (per-tile widths) wins skew on BOTH latency and bytes since
+        # the r2 step-geometry work (8192^2 powerlaw d=0.15: rsell 82.6 us
+        # = 4.3x dense vs binned 95.6 us; 39 vs 69 MB — BENCH.md), but its
+        # wide kernel keeps X and Y whole in VMEM; fall back to binned
+        # (bucketed widths, tiled output) when the batch pushes past that.
+        mp = round_up(m, _LANES)
+        np2 = round_up(n, _LANES)
+        bb = max(expect_batch, 1)
+        # mirror of the rsell kernel's own wide-path budget check
+        if (mp * bb + np2 * bb * 8) * 4 <= 8 << 20:
+            from tpusparse.formats.rsell import RsellMatrix
+
+            return RsellMatrix.from_csr(a) if is_csr \
+                else RsellMatrix.from_dense(a)
         from tpusparse.formats.binned import BinnedSellMatrix
 
         return BinnedSellMatrix.from_csr(a) if is_csr \

@@ -82,7 +82,7 @@ def awsp_spmm_padded(
     *,
     w: int,
     g: int,
-    jb: int = 4,
+    jb: int | None = None,
     interpret: bool | None = None,
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     if interpret is None:
@@ -90,8 +90,15 @@ def awsp_spmm_padded(
     nb = vals.shape[0]
     b = x.shape[0]
     na = win.shape[0]
-    while nb % jb:       # degrade gracefully on small matrices
-        jb //= 2
+    if jb is None:
+        # bytes-targeting default (same rule as tune.sell_geometry): a step
+        # streams jb x g x w x 128 vals+idx; aim for >= ~1 MB per step,
+        # capped by the double-buffered VMEM budget
+        per_g = g * w * _LANES * (vals.dtype.itemsize + 1)
+        jb = max(1, min(nb, -(-(1 << 20) // per_g), (6 << 20) // per_g))
+    # snap to the largest divisor of nb (degrade gracefully on small or
+    # awkward column-group counts)
+    jb = max(d for d in range(min(jb, nb), 0, -1) if nb % d == 0)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb // jb, na),

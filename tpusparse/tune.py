@@ -89,23 +89,94 @@ class TuneResult:
         return "\n".join(lines)
 
 
-# Process-wide tuned-geometry cache. Keyed by the packed layout, not the
-# matrix contents: two matrices with the same (nb, nt, w, dtype, batch)
-# stream identical byte patterns, so one sweep serves both.
+# Tuned-geometry cache: process-wide dict, persisted to disk so a sweep
+# survives the process (serving workloads re-pack the same layouts every
+# restart). Keyed by the packed layout AND the device kind, not the matrix
+# contents: two matrices with the same (nb, nt, w, dtype, batch) stream
+# identical byte patterns, so one sweep serves both.
 _CACHE: dict[tuple, tuple[int, int]] = {}
+_DISK_LOADED = False
+
+
+def _cache_path() -> str:
+    import os
+
+    return os.environ.get(
+        "TPUSPARSE_TUNE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "tpusparse",
+                     "tune.json"))
+
+
+def _device_kind() -> str:
+    try:
+        import jax
+
+        return getattr(jax.devices()[0], "device_kind", "unknown")
+    except Exception:                         # backend not initializable
+        return "unknown"
+
+
+def _load_disk() -> None:
+    global _DISK_LOADED
+    if _DISK_LOADED:
+        return
+    _DISK_LOADED = True
+    import json
+    import os
+
+    path = _cache_path()
+    if not os.path.exists(path):
+        return
+    try:
+        with open(path) as f:
+            raw = json.load(f)
+        for k, v in raw.items():
+            kind, fam, nb, nt, w, dtype, batch = k.split("|")
+            key = (fam, int(nb), int(nt), int(w), dtype, int(batch), kind)
+            _CACHE.setdefault(key, (int(v[0]), int(v[1])))
+    except (ValueError, OSError):
+        pass                                  # stale/corrupt cache: ignore
+
+
+def _save_disk() -> None:
+    import json
+    import os
+
+    path = _cache_path()
+    try:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        raw = {"|".join([k[-1], k[0], *map(str, k[1:-1])]): list(v)
+               for k, v in _CACHE.items()}
+        with open(path, "w") as f:
+            json.dump(raw, f, indent=0)
+    except OSError:
+        pass                                  # read-only home: cache stays
+                                              # in-process only
 
 
 def cache_key(vals_shape: Sequence[int], dtype: Any, batch: int) -> tuple:
     nb, nt, w, _ = vals_shape
-    return ("sell", nb, nt, w, np.dtype(dtype).name, batch)
+    return ("sell", nb, nt, w, np.dtype(dtype).name, int(batch),
+            _device_kind())
 
 
 def lookup(key: tuple) -> tuple[int, int] | None:
+    _load_disk()
     return _CACHE.get(key)
 
 
-def clear_cache() -> None:
+def clear_cache(disk: bool = False) -> None:
+    global _DISK_LOADED
     _CACHE.clear()
+    _DISK_LOADED = True                       # don't resurrect from disk
+    if disk:
+        import os
+
+        try:
+            os.remove(_cache_path())
+        except OSError:
+            pass
+        _DISK_LOADED = False
 
 
 def sell_candidates(nt: int, nb: int, w: int, *, itemsize: int = 4,
@@ -142,8 +213,10 @@ def autotune_sell(s: Any, x: Any, candidates: Sequence[tuple[int, int]]
 
     After this runs, plain ``s.spmv(x)`` / ``s.spmm(x)`` calls on any
     same-layout matrix pick up the tuned geometry automatically (the cache
-    is consulted in ``SellMatrix._run``). ~2 s per candidate on the real
-    chip (two jit compiles + the slope reps).
+    is consulted in ``SellMatrix._run``) — in this process and, via the
+    disk cache, in future ones on the same device kind. Cost is dominated
+    by the two chained-jit compiles per candidate (~1 min each cold over
+    the axon tunnel; warm processes hit the persistent XLA cache).
     """
     import jax
     import jax.numpy as jnp
@@ -176,5 +249,7 @@ def autotune_sell(s: Any, x: Any, candidates: Sequence[tuple[int, int]]
         table.append((geom, r.seconds))
     best = min(table, key=lambda t: t[1])[0]
     if use_cache:
+        _load_disk()
         _CACHE[key] = best
+        _save_disk()
     return TuneResult(geometry=best, table=tuple(table))
