@@ -266,3 +266,26 @@ def test_tcsr_sharded_from_csr(mesh8):
     x = generators.random_sparse_vector(512, density=0.5, seed=73)
     assert_close(tcsr_spmm_sharded(packed, x, mesh8),
                  reference.sgemv_cpu(x, a), name="tcsr_sharded_csr")
+
+
+@pytest.mark.parametrize("partition", ["n", "m", "ring"])
+def test_sell_sharded_int8_scales(mesh8, workload, partition):
+    """int8 value storage shards: scales ride the column-group axis (or
+    replicate for contraction shards); dequant commutes with the psum."""
+    a, x, _ = workload
+    s = SellMatrix.from_dense(a, dtype="int8")
+    assert s.scales is not None
+    y_single = np.asarray(s.spmv(x))          # int8 quantization is the
+    y = sell_spmm_sharded(s, x, mesh8, partition)  # same on 1 or D chips
+    assert_close(y, y_single, atol=5e-3,
+                 name=f"sell_sharded_int8[{partition}]")
+
+
+def test_sell_sharded_int8_scales_2d(workload):
+    a, _, _ = workload
+    mesh2 = make_mesh({"b": 2, "n": 4}, jax.devices()[:8])
+    xb = generators.random_sparse_batch(4, 1024, density=0.5, seed=3)
+    s = SellMatrix.from_dense(a, dtype="int8")
+    y_single = np.asarray(s.spmm(xb))
+    assert_close(sell_spmm_sharded(s, xb, mesh2, "2d"), y_single,
+                 atol=5e-3, name="sell_sharded_int8[2d]")

@@ -79,9 +79,10 @@ def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
     - every output group has at least one block (it zero-initializes its
       output tile in the scan path) — empty groups get an explicit zero
       block;
-    - long lists (>= 64) are padded to a multiple of 8 with zero blocks at
-      the LAST group (bj stays non-decreasing) so the wide kernel gets its
-      preferred 8 tiles/step; short lists skip the padding — the kernel's
+    - long lists are padded with zero blocks at the LAST group (bj stays
+      non-decreasing) to a step-alignment multiple — 8 from 64 blocks, 32
+      from 512 — so the wide kernel's bytes-targeting tiles-per-step snap
+      finds a large divisor; short lists skip the padding — the kernel's
       per-step tile count adapts to any divisor, and for a handful of
       blocks the zero-block stream would dominate the real traffic.
 
@@ -98,7 +99,8 @@ def _canonicalize_blocks(bi, bj, get_blocks, nb, block_m, dtype):
         bj = np.insert(bj, insert, missing)
         blocks = np.insert(
             blocks, insert, np.zeros((block_m, _LANES), dtype), axis=0)
-    pad = -len(bj) % 8 if len(bj) >= 64 else 0
+    align = 32 if len(bj) >= 512 else 8
+    pad = -len(bj) % align if len(bj) >= 64 else 0
     if pad:
         bi = np.concatenate([bi, np.zeros(pad, bi.dtype)])
         bj = np.concatenate([bj, np.full(pad, nb - 1, bj.dtype)])

@@ -81,11 +81,6 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
     """
     from tpusparse.kernels.sell_spmv import sell_spmm_padded
 
-    if getattr(s, "scales", None) is not None:
-        raise NotImplementedError(
-            "int8-storage SELL is single-chip only for now (the sharded "
-            "paths do not thread the per-column scales); pack with fp32 or "
-            "bf16 values for sharding")
     x2d, squeeze = _as_2d(x)
     mp, np_ = s.padded
     if x2d.shape[1] != mp:
@@ -94,34 +89,51 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
     nb, nt = s.vals.shape[0], s.vals.shape[1]
     w = s.w
     idx_l, vals_l = jnp.asarray(s.idx), jnp.asarray(s.vals)
+    # int8 value storage: per-output-column scales shard with the column
+    # groups (nb axis). Dequant happens inside the kernel AFTER each step's
+    # reduction, and scaling commutes with the m/ring partial-sum psum
+    # (scale * sum(partials) == sum(scale * partials)), so every partition
+    # threads them safely.
+    sc = None if getattr(s, "scales", None) is None else jnp.asarray(s.scales)
+
+    def _with_scales(args, specs, col_sharded: bool, d: int):
+        if sc is None:
+            return args, specs, ()
+        sc_l = _pad_axis(sc, 0, d) if col_sharded else sc
+        return (*args, sc_l), (*specs, P("n") if col_sharded else P()), None
 
     if partition == "n":
         d = mesh.shape["n"]
         idx_l = _pad_axis(idx_l, 0, d)            # zero column groups
         vals_l = _pad_axis(vals_l, 0, d)
 
-        def f(idx_loc, vals_loc, x_full):
+        def f(idx_loc, vals_loc, x_full, *rest):
             out = sell_spmm_padded(idx_loc, vals_loc, x_full, w=w,
+                                   scales=rest[0] if rest else None,
                                    **_sell_geom(vals_loc, x_full.shape[0], w))
             return out[::_SUB]                    # (B, nb_loc*128)
 
+        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+                                      (P("n"), P("n"), P()), True, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
-                       in_specs=(P("n"), P("n"), P()),
-                       out_specs=P(None, "n"))(idx_l, vals_l, x2d)
+                       in_specs=specs, out_specs=P(None, "n"))(*args)
     elif partition == "m":
         d = mesh.shape["n"]                       # axis carries M-shards here
         idx_l = _pad_axis(idx_l, 1, d)            # zero contraction windows
         vals_l = _pad_axis(vals_l, 1, d)
         x2d = _pad_axis(x2d, 1, idx_l.shape[1] * _LANES)
 
-        def f(idx_loc, vals_loc, x_loc):
+        def f(idx_loc, vals_loc, x_loc, *rest):
             out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w,
+                                   scales=rest[0] if rest else None,
                                    **_sell_geom(vals_loc, x_loc.shape[0], w))
             return comm.psum_y(out[::_SUB], "n")
 
+        args, specs, _ = _with_scales(
+            (idx_l, vals_l, x2d),
+            (P(None, "n"), P(None, "n"), P(None, "n")), False, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
-                       in_specs=(P(None, "n"), P(None, "n"), P(None, "n")),
-                       out_specs=P())(idx_l, vals_l, x2d)
+                       in_specs=specs, out_specs=P())(*args)
     elif partition == "ring":
         # shard BOTH dims: each chip owns a column-group slab (nb) and an
         # X window-shard; X shards rotate via ppermute while each chip
@@ -134,7 +146,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         x2d = _pad_axis(x2d, 1, idx_l.shape[1] * _LANES)
         band = idx_l.shape[1] // d
 
-        def f(idx_loc, vals_loc, x_loc):
+        def f(idx_loc, vals_loc, x_loc, *rest):
             my = lax.axis_index("n")
             b = x_loc.shape[0]
 
@@ -144,6 +156,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                 idx_b = lax.dynamic_slice_in_dim(idx_loc, t0, band, axis=1)
                 val_b = lax.dynamic_slice_in_dim(vals_loc, t0, band, axis=1)
                 return sell_spmm_padded(idx_b, val_b, xc, w=w,
+                                        scales=rest[0] if rest else None,
                                         **_sell_geom(val_b, xc.shape[0], w))
 
             def step(s, carry):
@@ -158,9 +171,10 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
             y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
             return (y + consume(d - 1, xc))[::_SUB]
 
+        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+                                      (P("n"), P("n"), P(None, "n")), True, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
-                       in_specs=(P("n"), P("n"), P(None, "n")),
-                       out_specs=P(None, "n"))(idx_l, vals_l, x2d)
+                       in_specs=specs, out_specs=P(None, "n"))(*args)
     elif partition == "2d":
         db, dn = mesh.shape["b"], mesh.shape["n"]
         idx_l = _pad_axis(idx_l, 0, dn)
@@ -168,14 +182,16 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
         b_real = x2d.shape[0]
         x2d = _pad_axis(x2d, 0, db)               # zero batch rows
 
-        def f(idx_loc, vals_loc, x_loc):
+        def f(idx_loc, vals_loc, x_loc, *rest):
             out = sell_spmm_padded(idx_loc, vals_loc, x_loc, w=w,
+                                   scales=rest[0] if rest else None,
                                    **_sell_geom(vals_loc, x_loc.shape[0], w))
             return out[::_SUB]
 
+        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+                                      (P("n"), P("n"), P("b")), True, dn)
         y = _shard_map(f, mesh=mesh, check_vma=False,
-                       in_specs=(P("n"), P("n"), P("b")),
-                       out_specs=P("b", "n"))(idx_l, vals_l, x2d)
+                       in_specs=specs, out_specs=P("b", "n"))(*args)
         y = y[:b_real]
     else:
         raise ValueError(f"unknown partition {partition!r}")
