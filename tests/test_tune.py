@@ -29,6 +29,22 @@ def test_heuristic_caps_step_by_vmem():
     assert tw == 1 and jb == 1
 
 
+def test_heuristic_respects_vmem_at_large_batch():
+    # tall narrow layout + wide batch: the x/out blocks scale with batch,
+    # so tw must shrink to keep the double-buffered step under scoped VMEM
+    tw, jb = tune.sell_geometry(512, 32, 8, batch=32)
+    assert tune._step_vmem(tw, jb, 8, 4, 32) <= 12 << 20
+    assert 512 % tw == 0
+
+
+def test_blocks_per_step_rule():
+    # 5.1 KB chunks -> wants ~205, capped at 128, snapped to a divisor
+    assert tune.blocks_per_step(5120, 1280, cap=128) == 128
+    assert tune.blocks_per_step(5120, 8 * 7, cap=128) == 56
+    assert tune.blocks_per_step(1 << 21, 64, cap=128) == 1   # big units
+    assert tune.blocks_per_step(5120, 1, cap=128) == 1
+
+
 def test_heuristic_returns_effective_divisors():
     for nt, nb, w in [(128, 128, 80), (24, 8, 40), (7, 3, 8)]:
         tw, jb = tune.sell_geometry(nt, nb, w)

@@ -135,7 +135,11 @@ def device_time(
     even the scaled span stays under ~12 ms. Unknown byte counts keep the
     historical 272/"min" behavior.
     """
-    est_call = None if bytes_moved is None else bytes_moved / 819e9
+    # The RTT-jitter model (and the 819 GB/s speed-of-light estimate) only
+    # applies over the TPU tunnel; on CPU keep the historical 272/"min".
+    on_tpu = jax.default_backend() != "cpu"
+    est_call = None if (bytes_moved is None or not on_tpu) \
+        else bytes_moved / 819e9
     if k2 is None:
         k2 = 272 if est_call is None else int(
             min(576, max(272, k1 + 8e-3 / max(est_call, 1e-9))))

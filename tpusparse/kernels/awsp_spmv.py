@@ -90,15 +90,18 @@ def awsp_spmm_padded(
     nb = vals.shape[0]
     b = x.shape[0]
     na = win.shape[0]
+    from tpusparse.tune import _snap, blocks_per_step
+
     if jb is None:
         # bytes-targeting default (same rule as tune.sell_geometry): a step
         # streams jb x g x w x 128 vals+idx; aim for >= ~1 MB per step,
         # capped by the double-buffered VMEM budget
         per_g = g * w * _LANES * (vals.dtype.itemsize + 1)
-        jb = max(1, min(nb, -(-(1 << 20) // per_g), (6 << 20) // per_g))
-    # snap to the largest divisor of nb (degrade gracefully on small or
-    # awkward column-group counts)
-    jb = max(d for d in range(min(jb, nb), 0, -1) if nb % d == 0)
+        jb = blocks_per_step(per_g, nb, cap=max(1, (6 << 20) // per_g))
+    else:
+        # snap explicit requests to the largest divisor of nb (degrade
+        # gracefully on small or awkward column-group counts)
+        jb = _snap(jb, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nb // jb, na),

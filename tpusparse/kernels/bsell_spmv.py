@@ -105,12 +105,13 @@ def bsell_spmm_padded(
     b = x.shape[0]
 
     if (x.size + n_padded * b * _SUB) * x.dtype.itemsize <= _WIDE_VMEM_LIMIT:
-        # tiles per step: size steps toward the ~1 MB DMA-amortization floor
-        # from the tile byte count, capped at 64 to bound the unrolled body;
-        # pack-time alignment of long tile lists keeps the snap effective
-        tile_bytes = w * _LANES * (vals.dtype.itemsize + 1)
-        want = min(64, -(-(1 << 20) // tile_bytes))
-        kb = max(d for d in range(min(want, nblk), 0, -1) if nblk % d == 0)
+        # tiles per step: the shared bytes-targeting rule, capped at 64 to
+        # bound the unrolled body; pack-time alignment of long tile lists
+        # keeps the snap effective
+        from tpusparse.tune import blocks_per_step
+
+        kb = blocks_per_step(w * _LANES * (vals.dtype.itemsize + 1),
+                             nblk, cap=64)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(nblk // kb,),

@@ -106,11 +106,13 @@ def bsr_spmm_padded(
         b = x.shape[0]
 
     if (x.size + n_padded * b) * x.dtype.itemsize <= _WIDE_VMEM_LIMIT:
-        # blocks per step: bytes-targeting (~1 MB steps; a 128x128 fp32
-        # tile is 64 KB), snapped to a divisor of the padded block count
-        tile_bytes = block_m * _LANES * blocks.dtype.itemsize
-        want = max(1, min(32, -(-(1 << 20) // tile_bytes)))
-        kb = max(d for d in range(min(want, nblk), 0, -1) if nblk % d == 0)
+        # blocks per step: the shared bytes-targeting rule (~1 MB steps; a
+        # 128x128 fp32 tile is 64 KB), snapped to a divisor of the padded
+        # block count
+        from tpusparse.tune import blocks_per_step
+
+        kb = blocks_per_step(block_m * _LANES * blocks.dtype.itemsize,
+                             nblk, cap=32)
         xt = x.T                                          # (M_padded, B)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,

@@ -86,13 +86,13 @@ def rsell_spmm_padded(
             f"rsell keeps X and Y whole in VMEM; B={b} x N={n_padded} "
             f"exceeds the {_WIDE_VMEM_LIMIT >> 20} MB budget — use "
             f"SellMatrix/TcsrMatrix for this shape")
-    # chunks per step: size steps toward ~1 MB (the DMA-amortization floor,
-    # BENCH.md) from the chunk byte count, capped at 128 to bound the
-    # unrolled kernel body; pack-time 128-alignment of long lists keeps the
-    # divisor snap from degrading
-    chunk_bytes = _SUB * _LANES * (vals.dtype.itemsize + 1)
-    want = min(128, -(-(1 << 20) // chunk_bytes))
-    c = max(d for d in range(min(want, nchunk), 0, -1) if nchunk % d == 0)
+    # chunks per step: the shared bytes-targeting rule (tune.blocks_per_step),
+    # capped at 128 to bound the unrolled kernel body; pack-time
+    # 128-alignment of long lists keeps the divisor snap from degrading
+    from tpusparse.tune import blocks_per_step
+
+    c = blocks_per_step(_SUB * _LANES * (vals.dtype.itemsize + 1),
+                        nchunk, cap=128)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nchunk // c,),

@@ -98,9 +98,9 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
 
     def _with_scales(args, specs, col_sharded: bool, d: int):
         if sc is None:
-            return args, specs, ()
+            return args, specs
         sc_l = _pad_axis(sc, 0, d) if col_sharded else sc
-        return (*args, sc_l), (*specs, P("n") if col_sharded else P()), None
+        return (*args, sc_l), (*specs, P("n") if col_sharded else P())
 
     if partition == "n":
         d = mesh.shape["n"]
@@ -113,7 +113,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                                    **_sell_geom(vals_loc, x_full.shape[0], w))
             return out[::_SUB]                    # (B, nb_loc*128)
 
-        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+        args, specs = _with_scales((idx_l, vals_l, x2d),
                                       (P("n"), P("n"), P()), True, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=specs, out_specs=P(None, "n"))(*args)
@@ -129,7 +129,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                                    **_sell_geom(vals_loc, x_loc.shape[0], w))
             return comm.psum_y(out[::_SUB], "n")
 
-        args, specs, _ = _with_scales(
+        args, specs = _with_scales(
             (idx_l, vals_l, x2d),
             (P(None, "n"), P(None, "n"), P(None, "n")), False, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
@@ -171,7 +171,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
             y, xc = lax.fori_loop(0, d - 1, step, (y0, x_loc))
             return (y + consume(d - 1, xc))[::_SUB]
 
-        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+        args, specs = _with_scales((idx_l, vals_l, x2d),
                                       (P("n"), P("n"), P(None, "n")), True, d)
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=specs, out_specs=P(None, "n"))(*args)
@@ -188,7 +188,7 @@ def sell_spmm_sharded(s: SellMatrix, x: Any, mesh: Mesh,
                                    **_sell_geom(vals_loc, x_loc.shape[0], w))
             return out[::_SUB]
 
-        args, specs, _ = _with_scales((idx_l, vals_l, x2d),
+        args, specs = _with_scales((idx_l, vals_l, x2d),
                                       (P("n"), P("n"), P("b")), True, dn)
         y = _shard_map(f, mesh=mesh, check_vma=False,
                        in_specs=specs, out_specs=P("b", "n"))(*args)

@@ -52,13 +52,26 @@ def sell_geometry(nt: int, nb: int, w: int, *, itemsize: int = 4,
     per_wg = w * _LANES * (itemsize + 1)          # vals + int8 idx, 1 win x 1 grp
     # VMEM for one step, double-buffered by Mosaic: 2x (vals+idx block +
     # x block) + out block. Keep the step's streamed block under the HI
-    # target and the whole working set under ~12 MB.
+    # target and the whole working set (which scales with batch through the
+    # x and out blocks) under ~12 MB of the 16 MB scoped-VMEM default.
     tw = _snap(max(1, min(nt, _STEP_BYTES_HI // max(per_wg, 1))), nt)
+    while tw > 1 and _step_vmem(tw, 1, w, itemsize, batch) > 12 << 20:
+        tw = _snap(tw - 1, nt)
     jb = 1
     while (jb < nb and tw * jb * per_wg < _STEP_BYTES_LO
            and _step_vmem(tw, jb + 1, w, itemsize, batch) <= 12 << 20):
         jb += 1
     return tw, _snap(jb, nb)
+
+
+def blocks_per_step(unit_bytes: int, count: int, cap: int,
+                    target: int = _STEP_BYTES_LO) -> int:
+    """Shared step-batching rule for the flat-block-list kernels (rsell
+    chunks, bsell/bsr tiles): enough units per grid step to reach the
+    ~1 MB DMA-amortization floor, capped (unrolled-body size / VMEM),
+    snapped to the largest divisor of the padded unit count."""
+    want = max(1, min(cap, -(-target // max(unit_bytes, 1))))
+    return _snap(want, count)
 
 
 def _snap(req: int, limit: int) -> int:
