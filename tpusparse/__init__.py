@@ -13,6 +13,9 @@ Layers (SURVEY.md §1 "TPU mapping"):
 - ``tpusparse.kernels``   — Pallas TPU kernels + XLA baselines, replacing the
   14 CUDA kernels (naive.cu, wsp.cu, asp.cu, awsp.cu, awsp_ref.cu, ...).
 - ``tpusparse.ops``       — the public dispatch surface (spmv / spmm).
+- ``tpusparse.autodiff``  — differentiable ``y = x @ A`` (custom VJP via a
+  transpose-packed format; no reference counterpart — JAX-native value).
+- ``tpusparse.tune``      — step-geometry heuristic + on-device autotuner.
 - ``tpusparse.parallel``  — mesh / collectives / partitioned multi-chip SpMV
   (no reference counterpart; mandated by BASELINE.json north star).
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
@@ -28,3 +31,4 @@ __version__ = "0.1.0"
 from tpusparse.ops import spmv, spmm  # noqa: F401
 from tpusparse.config import SpmvConfig  # noqa: F401
 from tpusparse.formats.auto import auto_format, matrix_stats, matrix_stats_csr  # noqa: F401
+from tpusparse.autodiff import linear_map  # noqa: F401

@@ -165,6 +165,21 @@ class CsrMatrix:
         return sparse.csc_matrix(
             (self.values, self.col_idx, self.row_ptr), shape=(m, n))
 
+    def transpose(self) -> "CsrMatrix":
+        """``CsrMatrix`` describing ``A.T`` (shape (n, m)) — the packing
+        input for a format that multiplies by A.T, e.g. the VJP of
+        ``y = x @ A`` (autodiff.py). O(nnz) counting sort; entries stay
+        sorted by output column then contraction index."""
+        m, n = self.shape
+        counts = np.bincount(self.col_idx, minlength=m)
+        row_ptr = np.zeros(m + 1, dtype=np.int32)
+        np.cumsum(counts, out=row_ptr[1:])
+        j_of = np.repeat(np.arange(n, dtype=np.int32),
+                         self.row_nnz.astype(np.int64))
+        order = np.argsort(self.col_idx, kind="stable")
+        return CsrMatrix(shape=(n, m), row_ptr=row_ptr,
+                         col_idx=j_of[order], values=self.values[order])
+
     def to_dense(self) -> np.ndarray:
         m, n = self.shape
         at = np.zeros((n, m), dtype=self.values.dtype)
