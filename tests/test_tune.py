@@ -43,6 +43,8 @@ def test_blocks_per_step_rule():
     assert tune.blocks_per_step(5120, 8 * 7, cap=128) == 56
     assert tune.blocks_per_step(1 << 21, 64, cap=128) == 1   # big units
     assert tune.blocks_per_step(5120, 1, cap=128) == 1
+    # the floor rounds UP to the next divisor: want=3 of 32 -> 4, not 2
+    assert tune.blocks_per_step(450_000, 32, cap=13) == 4
 
 
 def test_heuristic_returns_effective_divisors():

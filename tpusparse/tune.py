@@ -67,11 +67,16 @@ def sell_geometry(nt: int, nb: int, w: int, *, itemsize: int = 4,
 def blocks_per_step(unit_bytes: int, count: int, cap: int,
                     target: int = _STEP_BYTES_LO) -> int:
     """Shared step-batching rule for the flat-block-list kernels (rsell
-    chunks, bsell/bsr tiles): enough units per grid step to reach the
-    ~1 MB DMA-amortization floor, capped (unrolled-body size / VMEM),
-    snapped to the largest divisor of the padded unit count."""
+    chunks, bsell/bsr tiles) and AWSP's column fan-out: enough units per
+    grid step to reach the ~1 MB DMA-amortization floor, capped
+    (unrolled-body size / VMEM), snapped to a divisor of the padded unit
+    count. The target is a FLOOR, so snapping prefers the smallest divisor
+    >= want (a snap-down can drop the step back under the floor — e.g.
+    want=3 on 32 column groups would give 2 and a 0.9 MB step); only when
+    no divisor fits under the cap does it fall back to the largest below."""
     want = max(1, min(cap, -(-target // max(unit_bytes, 1))))
-    return _snap(want, count)
+    up = [d for d in range(want, min(cap, count) + 1) if count % d == 0]
+    return up[0] if up else _snap(want, count)
 
 
 def _snap(req: int, limit: int) -> int:
