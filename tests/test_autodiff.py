@@ -77,3 +77,85 @@ def test_shape_mismatch_rejected(workload):
     s = SellMatrix.from_dense(a)
     with pytest.raises(ValueError, match="transpose"):
         linear_map(s, fmt_t=s)
+
+
+# ---------------------- trainable (value gradients) -----------------------
+
+
+@pytest.fixture(scope="module")
+def train_setup():
+    from tpusparse.autodiff import trainable_linear
+
+    a = generators.random_sparse_matrix(384, 256, density=0.25, seed=21)
+    csr = CsrMatrix.from_dense(a)
+    apply, vals0, mask = trainable_linear(csr)
+    return a, apply, vals0, mask
+
+
+def test_trainable_forward(train_setup):
+    a, apply, vals0, _ = train_setup
+    x = generators.random_sparse_vector(384, density=0.5, seed=22)
+    assert_close(apply(vals0, x), (x @ a).astype(np.float32),
+                 name="trainable fwd")
+
+
+def test_trainable_both_grads_match_dense(train_setup):
+    a, apply, vals0, mask = train_setup
+    x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
+                                                    seed=23))
+    t = jnp.linspace(-1.0, 1.0, a.shape[1], dtype=jnp.float32)
+
+    @jax.jit
+    def loss(v, xx):
+        return jnp.sum(apply(v, xx) * t)
+
+    dv, dx = jax.grad(loss, argnums=(0, 1))(vals0, x)
+    # dense oracle: dL/dA = outer(x, t) on the mask; dL/dx = A t
+    assert_close(dx, (a.astype(np.float64)
+                      @ np.asarray(t, np.float64)).astype(np.float32),
+                 name="trainable dx")
+    # pad slots must carry exactly zero gradient
+    assert float(jnp.abs(jnp.where(mask, 0.0, dv)).max()) == 0.0
+    # real slots: scatter dv back to dense coordinates and compare
+    from tpusparse.formats.sell import SellMatrix
+
+    s = SellMatrix.from_dense(a)
+    da = SellMatrix(np.asarray(s.idx), np.asarray(dv), s.shape, s.padded,
+                    s.w, s.nnz).to_dense()
+    da_ref = np.where(a != 0, np.outer(np.asarray(x, np.float64),
+                                       np.asarray(t, np.float64)), 0.0)
+    assert_close(da, da_ref.astype(np.float32), name="trainable dvals")
+
+
+def test_trainable_step_changes_backward_transpose(train_setup):
+    """dx must see the LIVE values, not the packing-time snapshot."""
+    a, apply, vals0, mask = train_setup
+    x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
+                                                    seed=24))
+    vals2 = vals0 * 2.0
+    dx1 = jax.grad(lambda xx: jnp.sum(apply(vals0, xx)))(x)
+    dx2 = jax.grad(lambda xx: jnp.sum(apply(vals2, xx)))(x)
+    assert_close(dx2, 2.0 * dx1, name="live transpose values")
+
+
+def test_trainable_spmm_grads(train_setup):
+    a, apply, vals0, mask = train_setup
+    xb = jnp.asarray(generators.random_sparse_batch(3, 384, density=0.5,
+                                                    seed=25))
+
+    def loss(v, xx):
+        return jnp.sum(apply(v, xx) ** 2)
+
+    dv, dx = jax.grad(loss, argnums=(0, 1))(vals0, xb)
+    y = np.asarray(xb, np.float64) @ a.astype(np.float64)
+    g = 2.0 * y
+    assert_close(dx, (g @ a.astype(np.float64).T).astype(np.float32),
+                 atol=2e-3, name="trainable spmm dx")
+    from tpusparse.formats.sell import SellMatrix
+
+    s = SellMatrix.from_dense(a)
+    da = SellMatrix(np.asarray(s.idx), np.asarray(dv), s.shape, s.padded,
+                    s.w, s.nnz).to_dense()
+    da_ref = np.where(a != 0, np.asarray(xb, np.float64).T @ g, 0.0)
+    assert_close(da, da_ref.astype(np.float32), atol=2e-3,
+                 name="trainable spmm dvals")

@@ -23,7 +23,10 @@ from __future__ import annotations
 
 from typing import Any, Callable
 
+import numpy as np
+
 import jax
+import jax.numpy as jnp
 
 from tpusparse.formats.csr import CsrMatrix
 
@@ -67,3 +70,104 @@ def linear_map(fmt: Any, fmt_t: Any = None, *,
 
     apply.defvjp(fwd, bwd)
     return apply
+
+
+def trainable_linear(csr: CsrMatrix):
+    """Sparse-weight TRAINING: ``apply(vals, x) = x @ A`` differentiable in
+    both the packed SELL values and ``x``.
+
+    Returns ``(apply, vals0, mask)``:
+      - ``vals0``: the packed (nb, nt, w, 128) fp32 parameter array — use it
+        as the trainable leaf in your optimizer state;
+      - ``mask``:  bool array of the same shape, True on real slots. The
+        value cotangent is masked, so gradient-driven updates never touch
+        pad slots; updates that move parameters without gradients (weight
+        decay, some EMA schemes) must apply the mask themselves (standard
+        masked-pruning practice) — a nonzero pad slot WOULD contribute to
+        the forward product (its in-window index aliases offset 0).
+
+    Both cotangents are exact and cheap:
+      - d/dx   = g @ A.T — one SpMV/SpMM through a transpose-packed layout
+        whose values are regenerated from the live ``vals`` by a
+        precomputed O(nnz) slot permutation (so training updates are seen);
+      - d/dvals[slot] = x[m(slot)] * g[col(slot)] — the same 128-lane
+        in-window gather the forward kernel uses, as a closed form.
+
+    The reference has no training story at all; this is the JAX-native
+    extension that turns every format-measurement above into a usable
+    sparse layer (frozen mask, live values — the standard pruned-training
+    regime).
+    """
+    from tpusparse.formats.sell import (SellMatrix, _sorted_rows,
+                                        sell_slot_flat)
+
+    csr = _sorted_rows(csr)
+    fmt = SellMatrix.from_csr(csr)
+    csr_t = csr.transpose()
+    fmt_t = SellMatrix.from_csr(csr_t)
+    flat_f = sell_slot_flat(csr, fmt.w)
+    flat_t = sell_slot_flat(csr_t, fmt_t.w)
+    # transpose-entry i is forward-entry order[i] (csr.transpose's stable
+    # counting sort); map every transpose slot to its forward flat slot
+    order = np.argsort(csr.col_idx, kind="stable")
+    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
+    t_map[flat_t] = flat_f[order]
+    mask_np = np.zeros(int(np.prod(fmt.vals.shape)), dtype=bool)
+    mask_np[flat_f] = True
+    mask = mask_np.reshape(fmt.vals.shape)
+
+    idx = jnp.asarray(fmt.idx)
+    idx_t = jnp.asarray(fmt_t.idx)
+    t_map_j = jnp.asarray(t_map)
+    t_gather = jnp.clip(t_map_j, 0)
+    t_live = (t_map_j >= 0)
+    mask_j = jnp.asarray(mask)
+    m, n = fmt.shape
+    mp, np_pad = fmt.padded
+    nt = fmt.vals.shape[1]
+    nb = fmt.vals.shape[0]
+
+    def _fwd_fmt(vals):
+        return SellMatrix(idx, vals, fmt.shape, fmt.padded, fmt.w, fmt.nnz)
+
+    def _bwd_fmt(vals):
+        vals_t = jnp.where(t_live, vals.ravel()[t_gather], 0.0)
+        return SellMatrix(idx_t, vals_t.reshape(fmt_t.vals.shape),
+                          fmt_t.shape, fmt_t.padded, fmt_t.w, fmt_t.nnz)
+
+    def _run(f, v):
+        return f.spmv(v) if v.ndim == 1 else f.spmm(v)
+
+    def _vals_grad(x, g):
+        """Closed-form value cotangent, batched over leading dims of x/g."""
+        x2 = jnp.atleast_2d(jnp.asarray(x))
+        g2 = jnp.atleast_2d(g)
+        xw = jnp.pad(x2, ((0, 0), (0, mp - x2.shape[1])))
+        xw = xw.reshape(-1, nt, 1, 128)                    # (B, nt, 1, 128)
+        gw = jnp.pad(g2, ((0, 0), (0, np_pad - g2.shape[1])))
+        gw = gw.reshape(-1, nb, 128)                       # (B, nb, 128)
+
+        def one(xb, gb):
+            # xg[j,t,s,r] = x[t*128 + idx[j,t,s,r]] — 128-lane in-window
+            # gather, identical to the forward kernel's access pattern
+            xg = jnp.take_along_axis(
+                jnp.broadcast_to(xb[None], idx.shape),
+                idx.astype(jnp.int32), axis=3)
+            return xg * gb[:, None, None, :]
+        dv = jax.vmap(one)(xw, gw).sum(0)
+        return jnp.where(mask_j, dv, 0.0)
+
+    @jax.custom_vjp
+    def apply(vals, x):
+        return _run(_fwd_fmt(vals), x)
+
+    def fwd(vals, x):
+        return _run(_fwd_fmt(vals), x), (vals, x)
+
+    def bwd(res, g):
+        vals, x = res
+        dx = _run(_bwd_fmt(vals), g)
+        return _vals_grad(x, g), dx
+
+    apply.defvjp(fwd, bwd)
+    return apply, jnp.asarray(fmt.vals), mask

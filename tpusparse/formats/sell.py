@@ -134,8 +134,24 @@ def sell_pack_csr(csr, w: int | None = None,
                 f"(library loaded: {native.available()}, values dtype: "
                 f"{csr.values.dtype} — the native packer is fp32-only)")
 
+    jj, t, rank, rr, off, w = _csr_slot_coords(csr, w)
+    vals = np.zeros((nb, nt, w, _LANES), dtype=csr.values.dtype)
+    idx = np.zeros((nb, nt, w, _LANES), dtype=np.int8)
+    vals[jj, t, rank, rr] = csr.values
+    idx[jj, t, rank, rr] = off
+    return dict(idx=idx, vals=vals, shape=(m, n), padded=(mp, np_),
+                w=w, nnz=int(csr.nnz))
+
+
+def _csr_slot_coords(csr, w: int | None = None):
+    """Per-entry slot coordinates in the (nb, nt, w, 128) SELL layout for a
+    row-sorted ``CsrMatrix``: (jj, t, rank, rr, off, w). Shared by the
+    numpy packer and the trainable-params machinery (autodiff.py), which
+    needs the flat slot index of every nonzero to map live values between
+    the forward and transpose layouts."""
     from tpusparse.formats.csr import segment_ranks
 
+    n = csr.shape[1]
     row_nnz = csr.row_nnz
     c = np.repeat(np.arange(n, dtype=np.int64), row_nnz)   # output column
     m_idx = csr.col_idx.astype(np.int64)                   # contraction idx
@@ -148,14 +164,16 @@ def sell_pack_csr(csr, w: int | None = None,
         w = max(round_up(max_nnz, _SUB), _SUB)
     elif max_nnz > w:
         raise ValueError(f"w={w} < max window-column nnz {max_nnz}")
+    return c // _LANES, t, rank, c % _LANES, off, w
 
-    vals = np.zeros((nb, nt, w, _LANES), dtype=csr.values.dtype)
-    idx = np.zeros((nb, nt, w, _LANES), dtype=np.int8)
-    jj, rr = c // _LANES, c % _LANES
-    vals[jj, t, rank, rr] = csr.values
-    idx[jj, t, rank, rr] = off
-    return dict(idx=idx, vals=vals, shape=(m, n), padded=(mp, np_),
-                w=w, nnz=int(csr.nnz))
+
+def sell_slot_flat(csr, w: int) -> np.ndarray:
+    """Flat index into ``vals.ravel()`` of each entry of the row-sorted
+    ``csr`` under the SELL layout with width ``w``."""
+    m, n = csr.shape
+    nt = round_up(m, _LANES) // _LANES
+    jj, t, rank, rr, _, w = _csr_slot_coords(csr, w)
+    return ((jj * nt + t) * w + rank) * _LANES + rr
 
 
 @jax.tree_util.register_pytree_node_class
