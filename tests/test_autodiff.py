@@ -159,3 +159,24 @@ def test_trainable_spmm_grads(train_setup):
     da_ref = np.where(a != 0, np.asarray(xb, np.float64).T @ g, 0.0)
     assert_close(da, da_ref.astype(np.float32), atol=2e-3,
                  name="trainable spmm dvals")
+
+
+def test_sharded_linear_map_grads():
+    from tpusparse.autodiff import linear_map_sharded
+    from tpusparse.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    a = generators.random_sparse_matrix(1024, 2048, density=0.25, seed=31)
+    c = CsrMatrix.from_dense(a)
+    s = SellMatrix.from_csr(c)
+    s_t = SellMatrix.from_csr(c.transpose())
+    x = jnp.asarray(generators.random_sparse_vector(1024, density=0.5,
+                                                    seed=32))
+    for part in ["n", "m", "ring"]:
+        f = linear_map_sharded(s, s_t, mesh, part)
+        assert_close(f(x), (np.asarray(x, np.float64)
+                            @ a.astype(np.float64)).astype(np.float32),
+                     name=f"sharded fwd[{part}]")
+        g = jax.grad(lambda xx: jnp.sum(f(xx)))(x)
+        assert_close(g, a.astype(np.float64).sum(axis=1).astype(np.float32),
+                     name=f"sharded grad[{part}]")

@@ -72,6 +72,42 @@ def linear_map(fmt: Any, fmt_t: Any = None, *,
     return apply
 
 
+_DUAL_PARTITION = {"n": "m", "m": "n", "ring": "ring"}
+
+
+def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
+                       partition: str = "n") -> Callable[[Any], jax.Array]:
+    """Differentiable ``x @ A`` over a device mesh (SELL formats).
+
+    The backward pass is ``g @ A.T`` under the DUAL partition: an
+    output-column shard of A is a contraction shard of A.T (and vice
+    versa), so the transpose format reuses the same mesh axis — forward
+    ``n`` pairs with backward ``m`` (whose partial sums psum over ICI),
+    and ``ring`` is self-dual. Values are frozen, as in ``linear_map``.
+    """
+    from tpusparse.parallel.sparse import sell_spmm_sharded
+
+    m, n = fmt.shape
+    if tuple(fmt_t.shape) != (n, m):
+        raise ValueError(
+            f"fmt_t.shape {tuple(fmt_t.shape)} is not the transpose of "
+            f"fmt.shape {(m, n)}")
+    dual = _DUAL_PARTITION[partition]
+
+    @jax.custom_vjp
+    def apply(x):
+        return sell_spmm_sharded(fmt, x, mesh, partition)
+
+    def fwd(x):
+        return sell_spmm_sharded(fmt, x, mesh, partition), None
+
+    def bwd(_res, g):
+        return (sell_spmm_sharded(fmt_t, g, mesh, dual),)
+
+    apply.defvjp(fwd, bwd)
+    return apply
+
+
 def trainable_linear(csr: CsrMatrix):
     """Sparse-weight TRAINING: ``apply(vals, x) = x @ A`` differentiable in
     both the packed SELL values and ``x``.
