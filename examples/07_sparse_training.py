@@ -34,9 +34,11 @@ def main():
     m, n = 1024, 512
     rng = np.random.default_rng(0)
     a0 = generators.random_sparse_matrix(m, n, density=0.1, seed=0)
-    apply, vals, mask = trainable_linear(CsrMatrix.from_dense(a0))
+    apply, params, masks, resync = trainable_linear(CsrMatrix.from_dense(a0))
+    mask = masks["vals"]
     print(f"trainable slots: {int(mask.sum())} of {mask.size} "
-          f"({mask.mean() * 100:.0f}% — the rest are layout padding)")
+          f"({mask.mean() * 100:.0f}% — the rest are layout padding; "
+          f"the transpose twin doubles value memory)")
 
     # regression target from a hidden dense teacher
     teacher = rng.standard_normal((m, n)).astype(np.float32) * 0.1
@@ -45,20 +47,21 @@ def main():
     xs = jnp.asarray(xs)
 
     @jax.jit
-    def step(v, lr):
-        def loss_fn(vv):
-            return jnp.mean((apply(vv, xs) - ys) ** 2)
+    def step(p, lr):
+        def loss_fn(pp):
+            return jnp.mean((apply(pp, xs) - ys) ** 2)
 
-        loss, dv = jax.value_and_grad(loss_fn)(v)
-        return loss, v - lr * dv
+        loss, dp = jax.value_and_grad(loss_fn)(p)
+        return loss, jax.tree_util.tree_map(lambda v, d: v - lr * d, p, dp)
 
     for i in range(60):
-        loss, vals = step(vals, jnp.float32(2.0))
+        loss, params = step(params, jnp.float32(2.0))
         if i % 15 == 0 or i == 59:
             print(f"step {i:3d}: mse {float(loss):.5f}")
+    params = resync(params)   # kill ulp drift between the twin layouts
 
     # gradient-driven updates can never touch pad slots
-    off_mask = float(jnp.abs(jnp.where(mask, 0.0, vals)).max())
+    off_mask = float(jnp.abs(jnp.where(mask, 0.0, params["vals"])).max())
     print(f"max |pad slot| after training: {off_mask:.1e} (exactly 0.0)")
     assert off_mask == 0.0
 

@@ -88,95 +88,94 @@ def train_setup():
 
     a = generators.random_sparse_matrix(384, 256, density=0.25, seed=21)
     csr = CsrMatrix.from_dense(a)
-    apply, vals0, mask = trainable_linear(csr)
-    return a, apply, vals0, mask
+    apply, params, masks, resync = trainable_linear(csr)
+    return a, apply, params, masks, resync
 
 
 def test_trainable_forward(train_setup):
-    a, apply, vals0, _ = train_setup
+    a, apply, params, _, _ = train_setup
     x = generators.random_sparse_vector(384, density=0.5, seed=22)
-    assert_close(apply(vals0, x), (x @ a).astype(np.float32),
+    assert_close(apply(params, x), (x @ a).astype(np.float32),
                  name="trainable fwd")
 
 
+def _unpack_dense(a, dv):
+    from tpusparse.formats.sell import SellMatrix
+
+    s = SellMatrix.from_dense(a)
+    return SellMatrix(np.asarray(s.idx), np.asarray(dv), s.shape, s.padded,
+                      s.w, s.nnz).to_dense()
+
+
 def test_trainable_both_grads_match_dense(train_setup):
-    a, apply, vals0, mask = train_setup
+    a, apply, params, masks, resync = train_setup
     x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
                                                     seed=23))
     t = jnp.linspace(-1.0, 1.0, a.shape[1], dtype=jnp.float32)
 
     @jax.jit
-    def loss(v, xx):
-        return jnp.sum(apply(v, xx) * t)
+    def loss(p, xx):
+        return jnp.sum(apply(p, xx) * t)
 
-    dv, dx = jax.grad(loss, argnums=(0, 1))(vals0, x)
-    # dense oracle: dL/dA = outer(x, t) on the mask; dL/dx = A t
+    dp, dx = jax.grad(loss, argnums=(0, 1))(params, x)
     assert_close(dx, (a.astype(np.float64)
                       @ np.asarray(t, np.float64)).astype(np.float32),
                  name="trainable dx")
-    # pad slots must carry exactly zero gradient
-    assert float(jnp.abs(jnp.where(mask, 0.0, dv)).max()) == 0.0
-    # real slots: scatter dv back to dense coordinates and compare
-    from tpusparse.formats.sell import SellMatrix
-
-    s = SellMatrix.from_dense(a)
-    da = SellMatrix(np.asarray(s.idx), np.asarray(dv), s.shape, s.padded,
-                    s.w, s.nnz).to_dense()
+    # pad slots of BOTH layouts carry exactly zero gradient
+    for k in ("vals", "vals_t"):
+        assert float(jnp.abs(jnp.where(masks[k], 0.0, dp[k])).max()) == 0.0
+    # real slots: scatter both cotangents back to dense and compare
     da_ref = np.where(a != 0, np.outer(np.asarray(x, np.float64),
                                        np.asarray(t, np.float64)), 0.0)
-    assert_close(da, da_ref.astype(np.float32), name="trainable dvals")
+    assert_close(_unpack_dense(a, dp["vals"]), da_ref.astype(np.float32),
+                 name="trainable dvals")
+    assert_close(_unpack_dense(a.T, dp["vals_t"]),
+                 da_ref.T.astype(np.float32), name="trainable dvals_t")
 
 
-def test_trainable_step_changes_backward_transpose(train_setup):
-    """dx must see the LIVE values, not the packing-time snapshot."""
-    a, apply, vals0, mask = train_setup
+def test_trainable_tied_layouts_stay_consistent(train_setup):
+    """Elementwise SGD keeps the twin layouts consistent to rounding;
+    resync() re-ties them exactly."""
+    a, apply, params, masks, resync = train_setup
     x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
                                                     seed=24))
-    vals2 = vals0 * 2.0
-    dx1 = jax.grad(lambda xx: jnp.sum(apply(vals0, xx)))(x)
-    dx2 = jax.grad(lambda xx: jnp.sum(apply(vals2, xx)))(x)
-    assert_close(dx2, 2.0 * dx1, name="live transpose values")
+
+    @jax.jit
+    def step(p):
+        dp = jax.grad(lambda pp: jnp.sum(apply(pp, x) ** 2))(p)
+        return jax.tree_util.tree_map(lambda v, d: v - 1e-2 * d, p, dp)
+
+    p = params
+    for _ in range(3):
+        p = step(p)
+    d1 = _unpack_dense(a, np.asarray(p["vals"]))
+    d2 = _unpack_dense(a.T, np.asarray(p["vals_t"])).T
+    # copies agree to rounding (XLA may fuse the same elementwise update
+    # as FMA in one layout and mul+sub in the other -> ~1 ulp/step drift)
+    np.testing.assert_allclose(d1, d2, rtol=1e-5, atol=1e-7)
+    # resync re-ties them exactly
+    p = resync(p)
+    d2 = _unpack_dense(a.T, np.asarray(p["vals_t"])).T
+    np.testing.assert_array_equal(d1, d2)
+    # and the backward transpose sees the LIVE values
+    dx1 = jax.grad(lambda xx: jnp.sum(apply(p, xx)))(x)
+    assert_close(dx1, d1.astype(np.float64).sum(axis=1).astype(np.float32),
+                 name="live transpose values")
 
 
 def test_trainable_spmm_grads(train_setup):
-    a, apply, vals0, mask = train_setup
+    a, apply, params, masks, resync = train_setup
     xb = jnp.asarray(generators.random_sparse_batch(3, 384, density=0.5,
                                                     seed=25))
 
-    def loss(v, xx):
-        return jnp.sum(apply(v, xx) ** 2)
+    def loss(p, xx):
+        return jnp.sum(apply(p, xx) ** 2)
 
-    dv, dx = jax.grad(loss, argnums=(0, 1))(vals0, xb)
+    dp, dx = jax.grad(loss, argnums=(0, 1))(params, xb)
     y = np.asarray(xb, np.float64) @ a.astype(np.float64)
     g = 2.0 * y
     assert_close(dx, (g @ a.astype(np.float64).T).astype(np.float32),
                  atol=2e-3, name="trainable spmm dx")
-    from tpusparse.formats.sell import SellMatrix
-
-    s = SellMatrix.from_dense(a)
-    da = SellMatrix(np.asarray(s.idx), np.asarray(dv), s.shape, s.padded,
-                    s.w, s.nnz).to_dense()
     da_ref = np.where(a != 0, np.asarray(xb, np.float64).T @ g, 0.0)
-    assert_close(da, da_ref.astype(np.float32), atol=2e-3,
-                 name="trainable spmm dvals")
-
-
-def test_sharded_linear_map_grads():
-    from tpusparse.autodiff import linear_map_sharded
-    from tpusparse.parallel.mesh import make_mesh
-
-    mesh = make_mesh({"n": 8}, jax.devices()[:8])
-    a = generators.random_sparse_matrix(1024, 2048, density=0.25, seed=31)
-    c = CsrMatrix.from_dense(a)
-    s = SellMatrix.from_csr(c)
-    s_t = SellMatrix.from_csr(c.transpose())
-    x = jnp.asarray(generators.random_sparse_vector(1024, density=0.5,
-                                                    seed=32))
-    for part in ["n", "m", "ring"]:
-        f = linear_map_sharded(s, s_t, mesh, part)
-        assert_close(f(x), (np.asarray(x, np.float64)
-                            @ a.astype(np.float64)).astype(np.float32),
-                     name=f"sharded fwd[{part}]")
-        g = jax.grad(lambda xx: jnp.sum(f(xx)))(x)
-        assert_close(g, a.astype(np.float64).sum(axis=1).astype(np.float32),
-                     name=f"sharded grad[{part}]")
+    assert_close(_unpack_dense(a, dp["vals"]), da_ref.astype(np.float32),
+                 atol=2e-3, name="trainable spmm dvals")

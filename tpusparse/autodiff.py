@@ -109,101 +109,116 @@ def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
 
 
 def trainable_linear(csr: CsrMatrix):
-    """Sparse-weight TRAINING: ``apply(vals, x) = x @ A`` differentiable in
-    both the packed SELL values and ``x``.
+    """Sparse-weight TRAINING: ``apply(params, x) = x @ A`` differentiable
+    in both the packed SELL values and ``x``, at format-bytes speed in both
+    directions.
 
-    Returns ``(apply, vals0, mask)``:
-      - ``vals0``: the packed (nb, nt, w, 128) fp32 parameter array — use it
-        as the trainable leaf in your optimizer state;
-      - ``mask``:  bool array of the same shape, True on real slots. The
-        value cotangent is masked, so gradient-driven updates never touch
-        pad slots; updates that move parameters without gradients (weight
-        decay, some EMA schemes) must apply the mask themselves (standard
-        masked-pruning practice) — a nonzero pad slot WOULD contribute to
-        the forward product (its in-window index aliases offset 0).
+    Returns ``(apply, params, masks, resync)``:
+      - ``params = {"vals", "vals_t"}``: the packed values in the forward
+        layout AND the transpose layout. They are TIED copies of the same
+        weights — the backward ``d/dx`` pass streams ``vals_t`` directly,
+        so no per-step permutation is ever needed (an XLA slot-permutation
+        gather measured 90 ms vs the 75 us forward; a device sort, 36 ms).
+        The VJP hands each copy the SAME mathematical gradient expressed in
+        its own layout, so any ELEMENTWISE optimizer update (SGD, momentum,
+        Adam, weight decay — anything computed per-slot from (param, grad)
+        with identical hyperparameters) keeps the copies consistent up to
+        floating-point rounding: XLA may fuse the same update as FMA in
+        one layout and mul+sub in the other, so the copies can drift by
+        ~1 ulp per step (a slow random walk, ~sqrt(steps) ulps — harmless
+        against gradient noise). Call the returned ``resync`` every
+        O(10k) steps (or at checkpoints) to re-derive ``vals_t`` from
+        ``vals`` exactly; it costs one slot-permutation gather (~90 ms at
+        8M nnz), which is why it is not done per step. Non-elementwise
+        updates (e.g. per-leaf norm clipping) would desynchronize the
+        copies faster — clip on the combined pytree, which applies the
+        same scale to both.
+      - ``masks``: matching bool pytree, True on real slots. Cotangents are
+        masked (pad slots get exactly zero gradient); updates that move
+        parameters WITHOUT gradients must respect the mask themselves —
+        a nonzero pad slot would contribute to the product (its in-window
+        index aliases offset 0).
 
-    Both cotangents are exact and cheap:
-      - d/dx   = g @ A.T — one SpMV/SpMM through a transpose-packed layout
-        whose values are regenerated from the live ``vals`` by a
-        precomputed O(nnz) slot permutation (so training updates are seen);
-      - d/dvals[slot] = x[m(slot)] * g[col(slot)] — the same 128-lane
-        in-window gather the forward kernel uses, as a closed form.
+    Cotangents (all format-bytes-speed):
+      - d/dx        — one SpMV/SpMM through the transpose layout;
+      - d/dvals     — ``kernels/sell_grad.py``: the closed form
+        x[m(slot)] * g[col(slot)] via the forward kernel's own 128-lane
+        in-window gather (the XLA closed form measured 158 ms — law 5);
+      - d/dvals_t   — the same kernel on the transpose layout with the
+        roles of x and g swapped.
 
     The reference has no training story at all; this is the JAX-native
-    extension that turns every format-measurement above into a usable
-    sparse layer (frozen mask, live values — the standard pruned-training
-    regime).
+    extension that turns the format measurements into a usable sparse
+    layer (frozen mask, live values — the standard pruned-training
+    regime). Cost: 2x value memory for the twin layout.
     """
     from tpusparse.formats.sell import (SellMatrix, _sorted_rows,
                                         sell_slot_flat)
+    from tpusparse.kernels.sell_grad import sell_dvals_padded
 
     csr = _sorted_rows(csr)
     fmt = SellMatrix.from_csr(csr)
-    csr_t = csr.transpose()
-    fmt_t = SellMatrix.from_csr(csr_t)
-    flat_f = sell_slot_flat(csr, fmt.w)
-    flat_t = sell_slot_flat(csr_t, fmt_t.w)
-    # transpose-entry i is forward-entry order[i] (csr.transpose's stable
-    # counting sort); map every transpose slot to its forward flat slot
-    order = np.argsort(csr.col_idx, kind="stable")
-    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
-    t_map[flat_t] = flat_f[order]
-    mask_np = np.zeros(int(np.prod(fmt.vals.shape)), dtype=bool)
-    mask_np[flat_f] = True
-    mask = mask_np.reshape(fmt.vals.shape)
+    fmt_t = SellMatrix.from_csr(csr.transpose())
 
+    def signed_idx_and_mask(f, c):
+        flat = sell_slot_flat(c, f.w)
+        mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
+        mask[flat] = True
+        mask = mask.reshape(f.vals.shape)
+        return jnp.asarray(np.where(mask, np.asarray(f.idx), -1)
+                           .astype(np.int8)), mask
+
+    idx_s, mask = signed_idx_and_mask(fmt, csr)
+    idx_ts, mask_t = signed_idx_and_mask(fmt_t, csr.transpose())
     idx = jnp.asarray(fmt.idx)
     idx_t = jnp.asarray(fmt_t.idx)
-    t_map_j = jnp.asarray(t_map)
-    t_gather = jnp.clip(t_map_j, 0)
-    t_live = (t_map_j >= 0)
-    mask_j = jnp.asarray(mask)
-    m, n = fmt.shape
     mp, np_pad = fmt.padded
-    nt = fmt.vals.shape[1]
-    nb = fmt.vals.shape[0]
-
-    def _fwd_fmt(vals):
-        return SellMatrix(idx, vals, fmt.shape, fmt.padded, fmt.w, fmt.nnz)
-
-    def _bwd_fmt(vals):
-        vals_t = jnp.where(t_live, vals.ravel()[t_gather], 0.0)
-        return SellMatrix(idx_t, vals_t.reshape(fmt_t.vals.shape),
-                          fmt_t.shape, fmt_t.padded, fmt_t.w, fmt_t.nnz)
 
     def _run(f, v):
         return f.spmv(v) if v.ndim == 1 else f.spmm(v)
 
-    def _vals_grad(x, g):
-        """Closed-form value cotangent, batched over leading dims of x/g."""
-        x2 = jnp.atleast_2d(jnp.asarray(x))
-        g2 = jnp.atleast_2d(g)
-        xw = jnp.pad(x2, ((0, 0), (0, mp - x2.shape[1])))
-        xw = xw.reshape(-1, nt, 1, 128)                    # (B, nt, 1, 128)
-        gw = jnp.pad(g2, ((0, 0), (0, np_pad - g2.shape[1])))
-        gw = gw.reshape(-1, nb, 128)                       # (B, nb, 128)
-
-        def one(xb, gb):
-            # xg[j,t,s,r] = x[t*128 + idx[j,t,s,r]] — 128-lane in-window
-            # gather, identical to the forward kernel's access pattern
-            xg = jnp.take_along_axis(
-                jnp.broadcast_to(xb[None], idx.shape),
-                idx.astype(jnp.int32), axis=3)
-            return xg * gb[:, None, None, :]
-        dv = jax.vmap(one)(xw, gw).sum(0)
-        return jnp.where(mask_j, dv, 0.0)
+    def _pad2(v, width):
+        v2 = jnp.atleast_2d(jnp.asarray(v))
+        return jnp.pad(v2, ((0, 0), (0, width - v2.shape[1])))
 
     @jax.custom_vjp
-    def apply(vals, x):
-        return _run(_fwd_fmt(vals), x)
+    def apply(params, x):
+        f = SellMatrix(idx, params["vals"], fmt.shape, fmt.padded, fmt.w,
+                       fmt.nnz)
+        return _run(f, x)
 
-    def fwd(vals, x):
-        return _run(_fwd_fmt(vals), x), (vals, x)
+    def fwd(params, x):
+        f = SellMatrix(idx, params["vals"], fmt.shape, fmt.padded, fmt.w,
+                       fmt.nnz)
+        return _run(f, x), (params["vals_t"], x)
 
     def bwd(res, g):
-        vals, x = res
-        dx = _run(_bwd_fmt(vals), g)
-        return _vals_grad(x, g), dx
+        vals_t, x = res
+        f_t = SellMatrix(idx_t, vals_t, fmt_t.shape, fmt_t.padded, fmt_t.w,
+                         fmt_t.nnz)
+        dx = _run(f_t, g)
+        x2, g2 = _pad2(x, mp), _pad2(g, np_pad)
+        dvals = sell_dvals_padded(idx_s, x2, g2, w=fmt.w)
+        dvals_t = sell_dvals_padded(idx_ts, g2, x2, w=fmt_t.w)
+        return {"vals": dvals, "vals_t": dvals_t}, dx
 
     apply.defvjp(fwd, bwd)
-    return apply, jnp.asarray(fmt.vals), mask
+    params = {"vals": jnp.asarray(fmt.vals), "vals_t": jnp.asarray(fmt_t.vals)}
+    masks = {"vals": mask, "vals_t": mask_t}
+
+    # exact re-tie: vals_t slot <- forward flat slot (transpose-entry i is
+    # forward-entry order[i], csr.transpose's stable counting sort)
+    order = np.argsort(csr.col_idx, kind="stable")
+    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
+    t_map[sell_slot_flat(csr.transpose(), fmt_t.w)] = \
+        sell_slot_flat(csr, fmt.w)[order]
+    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
+    t_live = jnp.asarray(t_map >= 0)
+
+    def resync(p):
+        """Re-derive vals_t from vals exactly (kills accumulated ulp
+        drift); one slot-permutation gather — use sparingly."""
+        vt = jnp.where(t_live, p["vals"].ravel()[t_gather], 0.0)
+        return {"vals": p["vals"], "vals_t": vt.reshape(fmt_t.vals.shape)}
+
+    return apply, params, masks, resync
