@@ -179,3 +179,32 @@ def test_trainable_spmm_grads(train_setup):
     da_ref = np.where(a != 0, np.asarray(xb, np.float64).T @ g, 0.0)
     assert_close(_unpack_dense(a, dp["vals"]), da_ref.astype(np.float32),
                  atol=2e-3, name="trainable spmm dvals")
+
+
+def test_sharded_linear_map_2d_and_bad_partition():
+    from tpusparse.autodiff import linear_map_sharded
+    from tpusparse.parallel.mesh import make_mesh
+
+    a = generators.random_sparse_matrix(1024, 2048, density=0.25, seed=33)
+    c = CsrMatrix.from_dense(a)
+    s, s_t = SellMatrix.from_csr(c), SellMatrix.from_csr(c.transpose())
+    mesh2 = make_mesh({"b": 2, "n": 4}, jax.devices()[:8])
+    f = linear_map_sharded(s, s_t, mesh2, "2d")
+    xb = jnp.asarray(generators.random_sparse_batch(4, 1024, density=0.5,
+                                                    seed=34))
+    assert_close(f(xb), (np.asarray(xb, np.float64)
+                         @ a.astype(np.float64)).astype(np.float32),
+                 name="sharded fwd[2d]")
+    g = jax.grad(lambda xx: jnp.sum(f(xx)))(xb)
+    g_ref = np.broadcast_to(a.astype(np.float64).sum(axis=1), (4, 1024))
+    assert_close(g, g_ref.astype(np.float32), name="sharded grad[2d]")
+    with pytest.raises(ValueError, match="partition"):
+        linear_map_sharded(s, s_t, mesh2, "diagonal")
+
+
+def test_linear_map_dense_fallback_guard():
+    s = SellMatrix.from_dense(
+        generators.random_sparse_matrix(256, 256, density=0.3, seed=35))
+    s.shape = (40000, 40000)   # simulate a huge logical shape
+    with pytest.raises(ValueError, match="GB"):
+        linear_map(s)

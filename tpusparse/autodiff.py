@@ -48,6 +48,12 @@ def linear_map(fmt: Any, fmt_t: Any = None, *,
         if csr is not None:
             fmt_t = cls.from_csr(csr.transpose())
         else:
+            mm, nn = fmt.shape
+            if mm * nn * 4 > 2 << 30:
+                raise ValueError(
+                    f"packing the backward transpose from a dense "
+                    f"round-trip would allocate {mm * nn * 4 / 1e9:.1f} GB; "
+                    "pass csr= (no-densify, O(nnz)) or a pre-packed fmt_t=")
             fmt_t = cls.from_dense(fmt.to_dense().T)
     m, n = fmt.shape
     if tuple(fmt_t.shape) != (n, m):
@@ -72,7 +78,10 @@ def linear_map(fmt: Any, fmt_t: Any = None, *,
     return apply
 
 
-_DUAL_PARTITION = {"n": "m", "m": "n", "ring": "ring"}
+# an output-column shard of A is a contraction shard of A.T and vice versa;
+# "ring" is self-dual; "2d" (batch x output) is self-dual too — the backward
+# just shards A.T's own output (m) groups over the same axis, no psum
+_DUAL_PARTITION = {"n": "m", "m": "n", "ring": "ring", "2d": "2d"}
 
 
 def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
@@ -92,6 +101,9 @@ def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
         raise ValueError(
             f"fmt_t.shape {tuple(fmt_t.shape)} is not the transpose of "
             f"fmt.shape {(m, n)}")
+    if partition not in _DUAL_PARTITION:
+        raise ValueError(f"unknown partition {partition!r}; supported: "
+                         f"{sorted(_DUAL_PARTITION)}")
     dual = _DUAL_PARTITION[partition]
 
     @jax.custom_vjp
@@ -157,22 +169,40 @@ def trainable_linear(csr: CsrMatrix):
     from tpusparse.kernels.sell_grad import sell_dvals_padded
 
     csr = _sorted_rows(csr)
+    csr_t = csr.transpose()                      # O(nnz), computed once
     fmt = SellMatrix.from_csr(csr)
-    fmt_t = SellMatrix.from_csr(csr.transpose())
+    fmt_t = SellMatrix.from_csr(csr_t)
+    flat_f = sell_slot_flat(csr, fmt.w)
+    flat_t = sell_slot_flat(csr_t, fmt_t.w)
 
-    def signed_idx_and_mask(f, c):
-        flat = sell_slot_flat(c, f.w)
+    def signed_idx_and_mask(f, flat):
         mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
         mask[flat] = True
         mask = mask.reshape(f.vals.shape)
         return jnp.asarray(np.where(mask, np.asarray(f.idx), -1)
                            .astype(np.int8)), mask
 
-    idx_s, mask = signed_idx_and_mask(fmt, csr)
-    idx_ts, mask_t = signed_idx_and_mask(fmt_t, csr.transpose())
+    idx_s, mask = signed_idx_and_mask(fmt, flat_f)
+    idx_ts, mask_t = signed_idx_and_mask(fmt_t, flat_t)
     idx = jnp.asarray(fmt.idx)
     idx_t = jnp.asarray(fmt_t.idx)
-    mp, np_pad = fmt.padded
+    params = {"vals": jnp.asarray(fmt.vals), "vals_t": jnp.asarray(fmt_t.vals)}
+    masks = {"vals": mask, "vals_t": mask_t}
+    # exact re-tie map: transpose-entry i is forward-entry order[i]
+    # (csr.transpose's stable counting sort)
+    order = np.argsort(csr.col_idx, kind="stable")
+    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
+    t_map[flat_t] = flat_f[order]
+    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
+    t_live = jnp.asarray(t_map >= 0)
+    # keep only static metadata in the closures — fmt/fmt_t hold host-side
+    # numpy copies of vals+idx (~2x format bytes) that params/idx already
+    # duplicate on device
+    shape, padded, w_f, nnz = fmt.shape, fmt.padded, fmt.w, fmt.nnz
+    shape_t, padded_t, w_t, t_vals_shape = (fmt_t.shape, fmt_t.padded,
+                                            fmt_t.w, fmt_t.vals.shape)
+    mp, np_pad = padded
+    del fmt, fmt_t, csr, csr_t, flat_f, flat_t, order, t_map
 
     def _run(f, v):
         return f.spmv(v) if v.ndim == 1 else f.spmm(v)
@@ -181,44 +211,29 @@ def trainable_linear(csr: CsrMatrix):
         v2 = jnp.atleast_2d(jnp.asarray(v))
         return jnp.pad(v2, ((0, 0), (0, width - v2.shape[1])))
 
-    @jax.custom_vjp
-    def apply(params, x):
-        f = SellMatrix(idx, params["vals"], fmt.shape, fmt.padded, fmt.w,
-                       fmt.nnz)
-        return _run(f, x)
+    def _primal(params, x):
+        return _run(SellMatrix(idx, params["vals"], shape, padded, w_f,
+                               nnz), x)
+
+    apply = jax.custom_vjp(_primal)
 
     def fwd(params, x):
-        f = SellMatrix(idx, params["vals"], fmt.shape, fmt.padded, fmt.w,
-                       fmt.nnz)
-        return _run(f, x), (params["vals_t"], x)
+        return _primal(params, x), (params["vals_t"], x)
 
     def bwd(res, g):
         vals_t, x = res
-        f_t = SellMatrix(idx_t, vals_t, fmt_t.shape, fmt_t.padded, fmt_t.w,
-                         fmt_t.nnz)
-        dx = _run(f_t, g)
+        dx = _run(SellMatrix(idx_t, vals_t, shape_t, padded_t, w_t, nnz), g)
         x2, g2 = _pad2(x, mp), _pad2(g, np_pad)
-        dvals = sell_dvals_padded(idx_s, x2, g2, w=fmt.w)
-        dvals_t = sell_dvals_padded(idx_ts, g2, x2, w=fmt_t.w)
+        dvals = sell_dvals_padded(idx_s, x2, g2, w=w_f)
+        dvals_t = sell_dvals_padded(idx_ts, g2, x2, w=w_t)
         return {"vals": dvals, "vals_t": dvals_t}, dx
 
     apply.defvjp(fwd, bwd)
-    params = {"vals": jnp.asarray(fmt.vals), "vals_t": jnp.asarray(fmt_t.vals)}
-    masks = {"vals": mask, "vals_t": mask_t}
-
-    # exact re-tie: vals_t slot <- forward flat slot (transpose-entry i is
-    # forward-entry order[i], csr.transpose's stable counting sort)
-    order = np.argsort(csr.col_idx, kind="stable")
-    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
-    t_map[sell_slot_flat(csr.transpose(), fmt_t.w)] = \
-        sell_slot_flat(csr, fmt.w)[order]
-    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
-    t_live = jnp.asarray(t_map >= 0)
 
     def resync(p):
         """Re-derive vals_t from vals exactly (kills accumulated ulp
         drift); one slot-permutation gather — use sparingly."""
         vt = jnp.where(t_live, p["vals"].ravel()[t_gather], 0.0)
-        return {"vals": p["vals"], "vals_t": vt.reshape(fmt_t.vals.shape)}
+        return {"vals": p["vals"], "vals_t": vt.reshape(t_vals_shape)}
 
     return apply, params, masks, resync

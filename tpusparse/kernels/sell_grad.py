@@ -65,18 +65,29 @@ def sell_dvals_padded(
         interpret = default_interpret()
     nb, nt = idx_signed.shape[0], idx_signed.shape[1]
     b = x.shape[0]
-    if windows_per_step is None or col_groups_per_step is None:
-        from tpusparse import tune
+    from tpusparse import tune
 
+    if windows_per_step is None or col_groups_per_step is None:
         # streams idx (1 B) + writes dvals (4 B) per slot — same 5 B/slot
-        # budget as the forward kernel's vals+idx, so the same heuristic
+        # budget as the forward kernel, BUT the OUTPUT block here is the
+        # full (jb, tw, w, 128) fp32 dvals (the forward's out block is a
+        # tiny (B*8, jb*128)), so the shared heuristic's VMEM model
+        # undercounts; shrink until the real double-buffered working set
+        # (in idx + out dvals + x/g strips) fits ~12 MB of scoped VMEM
         tw0, jb0 = tune.sell_geometry(nt, nb, w, itemsize=4, batch=b)
+
+        def vmem(tw_, jb_):
+            blk = jb_ * tw_ * w * _LANES
+            return 2 * (blk * 1 + blk * 4 + b * (tw_ + jb_) * _LANES * 4)
+
+        while jb0 > 1 and vmem(tw0, jb0) > 12 << 20:
+            jb0 = tune._snap(jb0 - 1, nb)
+        while tw0 > 1 and vmem(tw0, jb0) > 12 << 20:
+            tw0 = tune._snap(tw0 - 1, nt)
         windows_per_step = windows_per_step or tw0
         col_groups_per_step = col_groups_per_step or jb0
-    tw = max(d for d in range(min(windows_per_step, nt), 0, -1)
-             if nt % d == 0)
-    jb = max(d for d in range(min(col_groups_per_step, nb), 0, -1)
-             if nb % d == 0)
+    tw = tune._snap(min(windows_per_step, nt), nt)
+    jb = tune._snap(min(col_groups_per_step, nb), nb)
     grid = (nb // jb, nt // tw)
     out = pl.pallas_call(
         functools.partial(_dvals_kernel, w=w, tw=tw, jb=jb, batch=b),
