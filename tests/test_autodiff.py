@@ -208,3 +208,37 @@ def test_linear_map_dense_fallback_guard():
     s.shape = (40000, 40000)   # simulate a huge logical shape
     with pytest.raises(ValueError, match="GB"):
         linear_map(s)
+
+
+def test_trainable_sharded_matches_single_chip():
+    from tpusparse.autodiff import trainable_linear, trainable_linear_sharded
+    from tpusparse.parallel.mesh import make_mesh
+
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    a = generators.random_sparse_matrix(1024, 2048, density=0.2, seed=41)
+    csr = CsrMatrix.from_dense(a)
+    apply_s, params_s, masks_s, _ = trainable_linear_sharded(csr, mesh)
+    apply_1, params_1, _, _ = trainable_linear(csr)
+    x = jnp.asarray(generators.random_sparse_vector(1024, density=0.5,
+                                                    seed=42))
+    assert_close(apply_s(params_s, x), apply_1(params_1, x),
+                 name="sharded trainable fwd")
+
+    def loss(ap, p):
+        return lambda pp, xx: jnp.sum(ap(pp, xx) ** 2)
+
+    dp_s, dx_s = jax.grad(loss(apply_s, params_s), argnums=(0, 1))(
+        params_s, x)
+    dp_1, dx_1 = jax.grad(loss(apply_1, params_1), argnums=(0, 1))(
+        params_1, x)
+    assert_close(dx_s, dx_1, name="sharded trainable dx")
+    for k in ("vals", "vals_t"):
+        assert_close(dp_s[k], dp_1[k], name=f"sharded trainable d{k}")
+    # one jitted SGD step end-to-end over the mesh
+    @jax.jit
+    def step(p):
+        dp = jax.grad(lambda pp: jnp.sum(apply_s(pp, x) ** 2))(p)
+        return jax.tree_util.tree_map(lambda v, d: v - 1e-3 * d, p, dp)
+
+    p2 = step(params_s)
+    assert np.isfinite(float(jnp.sum(p2["vals"])))

@@ -31,4 +31,5 @@ __version__ = "0.1.0"
 from tpusparse.ops import spmv, spmm  # noqa: F401
 from tpusparse.config import SpmvConfig  # noqa: F401
 from tpusparse.formats.auto import auto_format, matrix_stats, matrix_stats_csr  # noqa: F401
-from tpusparse.autodiff import linear_map, trainable_linear  # noqa: F401
+from tpusparse.autodiff import (linear_map, linear_map_sharded,  # noqa: F401
+                                trainable_linear, trainable_linear_sharded)

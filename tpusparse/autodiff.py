@@ -237,3 +237,120 @@ def trainable_linear(csr: CsrMatrix):
         return {"vals": p["vals"], "vals_t": vt.reshape(t_vals_shape)}
 
     return apply, params, masks, resync
+
+
+def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
+    """Multi-chip sparse-weight training: ``trainable_linear`` with every
+    pass partitioned over ``mesh`` (axis "n").
+
+    Sharding plan (one mesh axis, D shards):
+      - forward ``x @ A``: output-column partition ("n") — vals shard on
+        their column-group axis, X replicated, no steady-state comm;
+      - ``d/dx = g @ A.T``: the dual contraction partition ("m") — vals_t
+        shard on their n-window axis, partial sums psum over ICI;
+      - both value gradients: comm-free shard_map — each chip computes the
+        dvals/dvals_t blocks it owns from its local g slice (g is sharded
+        by output groups for dvals and by n-windows for dvals_t, X/g's
+        other operand replicated).
+    The twin layouts therefore shard on DIFFERENT axes of their arrays
+    (vals: axis 0, vals_t: axis 1) but over the same mesh axis, so one
+    elementwise optimizer update keeps per-chip work balanced. Same tied-
+    copy semantics (ulp-drift + ``resync``) as ``trainable_linear``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.kernels.sell_grad import sell_dvals_padded
+    from tpusparse.parallel.mesh import compat_shard_map as _shard_map
+    from tpusparse.parallel.sparse import sell_spmm_sharded
+
+    # params/masks/resync are layout-identical to the single-chip version;
+    # delegate for them (costs one extra pack pass at setup — O(nnz), once)
+    apply1, params, masks, resync = trainable_linear(csr)
+    del apply1
+    fmt = SellMatrix.from_csr(csr)
+    csr_t = csr.transpose()
+    fmt_t = SellMatrix.from_csr(csr_t)
+    d = mesh.shape["n"]
+    # rebuild the signed-idx planes (pad slots -1) used by the kernels;
+    # group-pad them for shard divisibility with -1 so padded groups emit
+    # zero cotangent (a zero-pad would alias in-window offset 0)
+    from tpusparse.formats.sell import sell_slot_flat
+
+    def signed(f, c, axis):
+        flat = sell_slot_flat(c, f.w)
+        mk = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
+        mk[flat] = True
+        s = np.where(mk.reshape(f.vals.shape), np.asarray(f.idx), -1)
+        s = s.astype(np.int8)
+        pad = -s.shape[axis] % d
+        if pad:
+            widths = [(0, 0)] * s.ndim
+            widths[axis] = (0, pad)
+            s = np.pad(s, widths, constant_values=-1)
+        return jnp.asarray(s)
+
+    idx_s = signed(fmt, csr, 0)        # shard column groups (axis 0)
+    idx_ts = signed(fmt_t, csr_t, 1)   # shard n-windows (axis 1)
+    w_f, w_t = fmt.w, fmt_t.w
+    nb_f, nt_t = fmt.vals.shape[0], fmt_t.vals.shape[1]
+    mp, np_pad = fmt.padded
+
+    def _sharded_dvals(idx_arr, x_side, g_side, w, axis, out_real):
+        """shard_map the value-gradient kernel over the idx shard axis.
+        axis 0 (column groups sharded): the output-side vector (g_side)
+        splits with the groups, the window-side vector replicates; axis 1
+        (windows sharded): vice versa."""
+        if axis == 0:
+            tgt = idx_arr.shape[0] * 128
+            g_side = jnp.pad(g_side, ((0, 0), (0, tgt - g_side.shape[1])))
+            specs = (P("n"), P(), P(None, "n"))
+            out_spec = P("n")
+        else:
+            tgt = idx_arr.shape[1] * 128
+            x_side = jnp.pad(x_side, ((0, 0), (0, tgt - x_side.shape[1])))
+            specs = (P(None, "n"), P(None, "n"), P())
+            out_spec = P(None, "n")
+
+        def f(idx_loc, x_loc, g_loc):
+            return sell_dvals_padded(idx_loc, x_loc, g_loc, w=w)
+
+        out = _shard_map(f, mesh=mesh, check_vma=False,
+                         in_specs=specs, out_specs=out_spec)(
+            idx_arr, x_side, g_side)
+        sl = [slice(None)] * out.ndim
+        sl[axis] = slice(0, out_real)
+        return out[tuple(sl)]
+
+    def _pad2(v, width):
+        v2 = jnp.atleast_2d(jnp.asarray(v))
+        return jnp.pad(v2, ((0, 0), (0, width - v2.shape[1])))
+
+    def _fmt(vals):
+        return SellMatrix(jnp.asarray(fmt.idx), vals, fmt.shape, fmt.padded,
+                          w_f, fmt.nnz)
+
+    def _fmt_t(vals_t):
+        return SellMatrix(jnp.asarray(fmt_t.idx), vals_t, fmt_t.shape,
+                          fmt_t.padded, w_t, fmt_t.nnz)
+
+    def _primal(p, x):
+        return sell_spmm_sharded(_fmt(p["vals"]), x, mesh, "n")
+
+    apply = jax.custom_vjp(_primal)
+
+    def fwd(p, x):
+        return _primal(p, x), (p["vals_t"], x)
+
+    def bwd(res, g):
+        vals_t, x = res
+        dx = sell_spmm_sharded(_fmt_t(vals_t), g, mesh, "m")
+        x2, g2 = _pad2(x, mp), _pad2(g, np_pad)
+        # dvals: g sharded by column group (axis 0 of idx_s); dvals_t: g is
+        # the contraction side, sharded by n-window (axis 1 of idx_ts)
+        dvals = _sharded_dvals(idx_s, x2, g2, w_f, 0, nb_f)
+        dvals_t = _sharded_dvals(idx_ts, g2, x2, w_t, 1, nt_t)
+        return {"vals": dvals, "vals_t": dvals_t}, dx
+
+    apply.defvjp(fwd, bwd)
+    return apply, params, masks, resync
