@@ -83,3 +83,41 @@ def test_model_numbers():
 def test_report_renders():
     txt = report(device_counts=(2, 8))
     assert "weak efficiency" in txt and "D=  8" in txt
+
+
+def test_train_model_collectives_match_lowered(mesh8):
+    """The sharded training step must lower to exactly the collectives the
+    train model charges: one all-reduce family (the dx psum) and NO
+    collective-permute (both value-gradient kernels are comm-free)."""
+    from tpusparse.autodiff import trainable_linear_sharded
+    from tpusparse.bench.commmodel import train_model
+    from tpusparse.formats.csr import CsrMatrix
+
+    a = generators.random_sparse_matrix(1024, 1024, density=0.3, seed=5)
+    apply, params, _, _ = trainable_linear_sharded(
+        CsrMatrix.from_dense(a), mesh8)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=5)
+
+    def step(p, xx):
+        import jax.numpy as jnp
+
+        dp, dx = jax.grad(lambda pp, v: jnp.sum(apply(pp, v) ** 2),
+                          argnums=(0, 1))(p, xx)
+        return dp, dx
+
+    txt = _lowered_text(step, params, np.asarray(x, np.float32))
+    e = train_model(m=1024, n=1024, n_devices=8)
+    assert "all-reduce" in e.collectives
+    assert "all_reduce" in txt
+    assert "collective_permute" not in txt
+
+
+def test_train_model_efficiency_shape():
+    from tpusparse.bench.commmodel import train_model
+
+    e2 = train_model(m=4096, n=4096, n_devices=2, format_bytes=60_000_000)
+    e16 = train_model(m=4096, n=4096, n_devices=16, format_bytes=60_000_000)
+    # comm is one small activation all-reduce against 4 format passes of
+    # compute: efficiency stays high and degrades slowly with D
+    assert e2.efficiency > 0.95 and e16.efficiency > 0.9
+    assert e16.ici_bytes > e2.ici_bytes

@@ -94,6 +94,30 @@ def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
                         collectives=coll)
 
 
+def train_model(*, m: int, n: int, batch: int = 1, n_devices: int = 8,
+                format_bytes: int | None = None,
+                hbm_gbps: float = HBM_GBPS,
+                ici_gbps: float = ICI_RING_GBPS) -> CommEstimate:
+    """Weak-scaling estimate for the FULL sharded training step
+    (autodiff.trainable_linear_sharded): forward output-shard (no comm) +
+    d/dx through the transpose under the dual contraction-shard (one
+    all-reduce of the (B, m) activation cotangent) + two comm-free
+    value-gradient kernels. Per-chip HBM work is ~4 format passes (fwd,
+    dx, dvals, dvals_t — each streams ~the slab's bytes; measured
+    single-chip: 359 us vs the 75 us forward, BENCH.md §Training)."""
+    slab = format_bytes if format_bytes is not None else m * n * 4
+    compute = 4 * slab / (hbm_gbps * 1e9)
+    d = n_devices
+    dx_bytes = batch * m * 4               # replicated activation cotangent
+    ici = int(2 * (d - 1) / d * dx_bytes)
+    comm = ici / (ici_gbps * 1e9)
+    call = compute + comm                  # the psum follows the dx kernel
+    return CommEstimate(partition="train", compute_s=compute,
+                        ici_bytes=ici, comm_s=comm, call_s=call,
+                        efficiency=compute / call if call else 1.0,
+                        collectives=("all-reduce",))
+
+
 def report(m: int = 4096, n: int = 4096, batch: int = 1,
            device_counts: tuple[int, ...] = (2, 4, 8, 16),
            format_bytes: int | None = None) -> str:
@@ -106,6 +130,9 @@ def report(m: int = 4096, n: int = 4096, batch: int = 1,
             e = comm_model(p, m=m, n=n, batch=batch, n_devices=d,
                            format_bytes=format_bytes)
             lines.append(f"D={d:3d} {e}")
+        t = train_model(m=m, n=n, batch=batch, n_devices=d,
+                        format_bytes=format_bytes)
+        lines.append(f"D={d:3d} {t}")
     return "\n".join(lines)
 
 
