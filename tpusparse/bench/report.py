@@ -66,8 +66,8 @@ def _bench_entries(a, x, entries, out):
 
 def main(out=sys.stdout, sections: set[str] | None = None) -> None:
     """sections: subset of {canonical, powerlaw, lowdensity, structured,
-    spmm, tcsr, floors, reduced, crossover} to run (None = all). Lets long
-    runs split across timeouts."""
+    spmm, tcsr, floors, reduced, crossover, training} to run (None = all).
+    Lets long runs split across timeouts."""
     def on(name):
         return sections is None or name in sections
 
@@ -95,6 +95,69 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
         _reduced(out)
     if on("crossover"):
         _crossover(out)
+    if on("training"):
+        _training(out)
+
+
+def _training(out):
+    """fwd vs fwd+bwd on the trainable path (autodiff.trainable_linear).
+
+    The fori_loop chain below is the same slope method as bench/runner.py,
+    expressed without the replica pool (the train step's params stream 2x
+    format bytes per call, far past VMEM residency)."""
+    import functools
+    import time
+
+    import jax.numpy as jnp
+
+    from tpusparse.autodiff import trainable_linear
+    from tpusparse.formats.csr import CsrMatrix
+
+    print("## Training: fwd+bwd step, M=N=4096 d=0.5 fp32 "
+          "(trainable_linear)\n", file=out)
+    print("training", file=sys.stderr)
+    a = generators.random_sparse_matrix(4096, 4096, density=0.5, seed=0)
+    apply, params, masks, _ = trainable_linear(CsrMatrix.from_dense(a))
+    params = jax.device_put(params)
+    x = jax.device_put(jnp.asarray(
+        generators.random_sparse_vector(4096, density=0.5, seed=1)))
+
+    def chain(k, p, xx):
+        def body(i, c):
+            s, xc = c
+            loss, (dp, dx) = jax.value_and_grad(
+                lambda pp, v: jnp.sum(apply(pp, v)), argnums=(0, 1))(p, xc)
+            r = loss + jnp.sum(dp["vals"]) + jnp.sum(dp["vals_t"])
+            return (s + r, xc + (r + jnp.sum(dx)) * 1e-37)
+        s, _ = jax.lax.fori_loop(0, k, body, (0.0, xx))
+        return s
+
+    k1, k2 = 8, 168
+    c1 = jax.jit(functools.partial(chain, k1))
+    c2 = jax.jit(functools.partial(chain, k2))
+    float(c1(params, x))
+    float(c2(params, x))
+    ts = []
+    for _ in range(7):
+        t0 = time.perf_counter()
+        float(c1(params, x))
+        t1 = time.perf_counter()
+        float(c2(params, x))
+        t2 = time.perf_counter()
+        ts.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    step_s = sorted(ts)[len(ts) // 2]
+    fwd = device_time(lambda p, xx: apply(p, xx), params, x,
+                      name="fwd", bytes_moved=int(params["vals"].size) * 5)
+    print("| pass | per call |", file=out)
+    print("|---|---|", file=out)
+    print(f"| forward | {fwd.seconds * 1e6:.1f} us |", file=out)
+    print(f"| fwd+bwd (dx + both value grads) | {step_s * 1e6:.1f} us "
+          f"({step_s / fwd.seconds:.1f}x fwd) |", file=out)
+    print("\nThe backward is three format-bytes passes (d/dx through the "
+          "transpose layout + one value-gradient kernel per twin layout), "
+          "so ~4-5x the forward is the bytes bound; the XLA closed forms "
+          "measured ~250 ms (BENCH.md history / CLAUDE.md gather laws).\n",
+          file=out)
 
 
 def _header(dev, hbm, out):
