@@ -1,0 +1,76 @@
+"""Flax integration: sparse linear layers backed by the Pallas kernels.
+
+``SparseLinear`` is a linen module whose weight is a packed SELL matrix
+with a FROZEN sparsity mask and trainable values (the pruned-training
+regime, autodiff.trainable_linear): the forward/backward both run at
+format-bytes speed (BENCH.md §Training), and the twin-layout parameters
+live in the module's params pytree, so optax/flax training loops work
+unchanged. Apply the returned mask collection to updates that move
+parameters without gradients (weight decay etc.) — see trainable_linear.
+
+The reference has no NN-framework story (it is a CUDA kernel benchmark);
+this is the JAX-native packaging that makes the measured kernels usable
+inside a model definition.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from tpusparse.formats.csr import CsrMatrix
+
+
+class SparseLinear:
+    """Factory: build a linen module class bound to a packed sparsity
+    pattern. Usage:
+
+        layer = tpusparse.nn.SparseLinear.from_csr(csr, use_bias=True)
+        variables = layer.init(rng, x)       # params: vals, vals_t[, bias]
+        y = layer.apply(variables, x)
+        masks = layer.masks                  # pad-slot masks for the values
+
+    Implemented as a factory (not a plain Module with the csr as an
+    attribute) because the packing is host-side work that must happen once,
+    outside tracing, and the packed layout determines the parameter shapes.
+    """
+
+    def __new__(cls, *a, **k):  # pragma: no cover - guidance only
+        raise TypeError("use SparseLinear.from_csr(csr, ...) or "
+                        "SparseLinear.from_dense(a, ...)")
+
+    @staticmethod
+    def from_dense(a: np.ndarray, **kw):
+        return SparseLinear.from_csr(CsrMatrix.from_dense(np.asarray(a)),
+                                     **kw)
+
+    @staticmethod
+    def from_csr(csr: CsrMatrix, *, use_bias: bool = False,
+                 activation: Callable[[Any], Any] | None = None):
+        import flax.linen as fl_nn
+
+        from tpusparse.autodiff import trainable_linear
+
+        apply_fn, params0, masks, resync = trainable_linear(csr)
+        n_out = csr.shape[1]
+
+        class _SparseLinear(fl_nn.Module):
+            @fl_nn.compact
+            def __call__(self, x):
+                vals = self.param("vals", lambda rng: params0["vals"])
+                vals_t = self.param("vals_t", lambda rng: params0["vals_t"])
+                y = apply_fn({"vals": vals, "vals_t": vals_t}, x)
+                if use_bias:
+                    b = self.param(
+                        "bias", lambda rng: jnp.zeros(n_out, jnp.float32))
+                    y = y + b
+                return activation(y) if activation is not None else y
+
+        # class attributes: linen Module instances are frozen dataclasses,
+        # but attribute lookup falls through to the class
+        _SparseLinear.masks = masks
+        _SparseLinear.resync = staticmethod(resync)
+        return _SparseLinear()
