@@ -13,7 +13,7 @@ from tpusparse.testing import generators
 @pytest.fixture(scope="module")
 def layer_setup():
     a = generators.random_sparse_matrix(384, 256, density=0.25, seed=51)
-    layer = SparseLinear.from_dense(a, use_bias=True)
+    layer = SparseLinear.from_dense(a, use_bias=True)()
     x = generators.random_sparse_vector(384, density=0.5, seed=52)
     variables = layer.init(jax.random.PRNGKey(0), jnp.asarray(x))
     return a, layer, variables, jnp.asarray(x)
@@ -68,7 +68,7 @@ def test_trains_under_optax(layer_setup):
 
 def test_activation_and_instantiation_guard():
     a = generators.random_sparse_matrix(256, 256, density=0.3, seed=54)
-    layer = SparseLinear.from_dense(a, activation=jax.nn.relu)
+    layer = SparseLinear.from_dense(a, activation=jax.nn.relu)()
     x = jnp.asarray(generators.random_sparse_vector(256, density=0.5,
                                                     seed=55))
     v = layer.init(jax.random.PRNGKey(0), x)

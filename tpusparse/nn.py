@@ -25,17 +25,23 @@ from tpusparse.formats.csr import CsrMatrix
 
 
 class SparseLinear:
-    """Factory: build a linen module class bound to a packed sparsity
+    """Factory: build a linen module CLASS bound to a packed sparsity
     pattern. Usage:
 
-        layer = tpusparse.nn.SparseLinear.from_csr(csr, use_bias=True)
-        variables = layer.init(rng, x)       # params: vals, vals_t[, bias]
+        Hidden = tpusparse.nn.SparseLinear.from_csr(csr, use_bias=True)
+        layer = Hidden()                      # top-level use...
+        variables = layer.init(rng, x)        # params: vals, vals_t[, bias]
         y = layer.apply(variables, x)
-        masks = layer.masks                  # pad-slot masks for the values
+        masks = Hidden.masks                  # pad-slot masks for the values
 
-    Implemented as a factory (not a plain Module with the csr as an
-    attribute) because the packing is host-side work that must happen once,
-    outside tracing, and the packed layout determines the parameter shapes.
+        class Mlp(nn.Module):                 # ...or nested: instantiate
+            @nn.compact                       # INSIDE compact so flax binds
+            def __call__(self, x):            # the submodule
+                return nn.Dense(8)(Hidden()(x))
+
+    Returns the class (not an instance) because flax binds submodules at
+    instantiation inside the parent's scope; the packing is host-side work
+    that happens once here, and the packed layout fixes the param shapes.
     """
 
     def __new__(cls, *a, **k):  # pragma: no cover - guidance only
@@ -73,4 +79,5 @@ class SparseLinear:
         # but attribute lookup falls through to the class
         _SparseLinear.masks = masks
         _SparseLinear.resync = staticmethod(resync)
-        return _SparseLinear()
+        _SparseLinear.__name__ = "SparseLinear"
+        return _SparseLinear
