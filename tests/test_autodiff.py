@@ -242,3 +242,41 @@ def test_trainable_sharded_matches_single_chip():
 
     p2 = step(params_s)
     assert np.isfinite(float(jnp.sum(p2["vals"])))
+
+
+def test_trainable_sharded_unsorted_csr_grads():
+    """Regression: legal CSR does not guarantee within-row column order;
+    the sharded constructor must sort before deriving its slot planes (it
+    once rebuilt them from the caller's unsorted csr while the params came
+    from the sorted one — vals grads were silently wrong by O(10))."""
+    from tpusparse.autodiff import trainable_linear, trainable_linear_sharded
+    from tpusparse.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(43)
+    a = generators.random_sparse_matrix(512, 1024, density=0.2, seed=44)
+    csr = CsrMatrix.from_dense(a)
+    ci, vals = np.array(csr.col_idx), np.array(csr.values)
+    for r in range(len(csr.row_ptr) - 1):
+        lo, hi = int(csr.row_ptr[r]), int(csr.row_ptr[r + 1])
+        perm = rng.permutation(hi - lo)
+        ci[lo:hi] = ci[lo:hi][perm]
+        vals[lo:hi] = vals[lo:hi][perm]
+    shuffled = CsrMatrix(shape=csr.shape, row_ptr=csr.row_ptr,
+                         col_idx=ci, values=vals)
+    assert not np.array_equal(ci, csr.col_idx)  # actually unsorted
+
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    apply_s, params_s, _, _ = trainable_linear_sharded(shuffled, mesh)
+    apply_1, params_1, _, _ = trainable_linear(csr)
+    x = jnp.asarray(generators.random_sparse_vector(512, density=0.5,
+                                                    seed=45))
+
+    def loss(ap):
+        return lambda pp: jnp.sum(ap(pp, x) ** 2)
+
+    assert_close(apply_s(params_s, x), apply_1(params_1, x),
+                 name="unsorted sharded fwd")
+    dp_s = jax.grad(loss(apply_s))(params_s)
+    dp_1 = jax.grad(loss(apply_1))(params_1)
+    for k in ("vals", "vals_t"):
+        assert_close(dp_s[k], dp_1[k], name=f"unsorted sharded d{k}")

@@ -30,7 +30,7 @@ def train_state():
 
 
 def test_orbax_round_trip_and_bitwise_resume(tmp_path, train_state):
-    import orbax.checkpoint as ocp
+    ocp = pytest.importorskip("orbax.checkpoint")
 
     apply, params, step, x = train_state
     p = step(step(params))

@@ -5,6 +5,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytest.importorskip("flax")
+
 from tests.conftest import assert_close
 from tpusparse.nn import SparseLinear
 from tpusparse.testing import generators
@@ -36,7 +38,7 @@ def test_param_shapes_and_masks(layer_setup):
 
 
 def test_trains_under_optax(layer_setup):
-    import optax
+    optax = pytest.importorskip("optax")
 
     a, layer, variables, x = layer_setup
     xs = jnp.asarray(generators.random_sparse_batch(8, 384, density=0.5,
@@ -64,6 +66,27 @@ def test_trains_under_optax(layer_setup):
     for k in ("vals", "vals_t"):
         off = jnp.where(layer.masks[k], 0.0, params[k])
         assert float(jnp.abs(off).max()) == 0.0
+
+
+def test_resync_preserves_bias(layer_setup):
+    """Regression: resync on the layer's param subtree must pass non-twin
+    params (bias) through, not drop them — a dropped key breaks the next
+    apply/optimizer step mid-training."""
+    a, layer, variables, x = layer_setup
+    p = dict(variables["params"])
+    assert "bias" in p
+    p["bias"] = p["bias"] + 1.25
+    # perturb vals_t so resync has something to re-tie
+    p2 = dict(p)
+    p2["vals_t"] = p["vals_t"] + jnp.where(layer.masks["vals_t"], 1e-6, 0.0)
+    tied = layer.resync(p2)
+    assert set(tied) == set(p)
+    np.testing.assert_array_equal(np.asarray(tied["bias"]),
+                                  np.asarray(p["bias"]))
+    np.testing.assert_array_equal(np.asarray(tied["vals_t"]),
+                                  np.asarray(p["vals_t"]))
+    y = layer.apply({"params": tied}, x)   # still applies cleanly
+    assert np.isfinite(np.asarray(y)).all()
 
 
 def test_activation_and_instantiation_guard():

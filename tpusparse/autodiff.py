@@ -120,6 +120,35 @@ def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
     return apply
 
 
+class _TwinPack:
+    """One shared packing pass for the twin-layout trainable paths.
+
+    Sorts the CSR first (legal CSR does not guarantee within-row column
+    order, and every slot plane below assumes the packer's ranking), then
+    packs both layouts and their live-slot maps ONCE so the single-chip
+    and sharded constructors cannot drift apart on layout decisions.
+    """
+
+    def __init__(self, csr: CsrMatrix):
+        from tpusparse.formats.sell import (SellMatrix, _sorted_rows,
+                                            sell_slot_flat)
+
+        self.csr = _sorted_rows(csr)
+        self.csr_t = self.csr.transpose()            # O(nnz), computed once
+        self.fmt = SellMatrix.from_csr(self.csr)
+        self.fmt_t = SellMatrix.from_csr(self.csr_t)
+        self.flat_f = sell_slot_flat(self.csr, self.fmt.w)
+        self.flat_t = sell_slot_flat(self.csr_t, self.fmt_t.w)
+
+    def signed_idx(self, f, flat) -> np.ndarray:
+        """int8 in-window indices with pad slots forced to -1 (a zero pad
+        would alias in-window offset 0 and leak cotangent)."""
+        mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
+        mask[flat] = True
+        mask = mask.reshape(f.vals.shape)
+        return np.where(mask, np.asarray(f.idx), -1).astype(np.int8), mask
+
+
 def trainable_linear(csr: CsrMatrix):
     """Sparse-weight TRAINING: ``apply(params, x) = x @ A`` differentiable
     in both the packed SELL values and ``x``, at format-bytes speed in both
@@ -164,26 +193,20 @@ def trainable_linear(csr: CsrMatrix):
     layer (frozen mask, live values — the standard pruned-training
     regime). Cost: 2x value memory for the twin layout.
     """
-    from tpusparse.formats.sell import (SellMatrix, _sorted_rows,
-                                        sell_slot_flat)
+    return _trainable_from_pack(_TwinPack(csr))
+
+
+def _trainable_from_pack(pack: "_TwinPack"):
+    from tpusparse.formats.sell import SellMatrix
     from tpusparse.kernels.sell_grad import sell_dvals_padded
 
-    csr = _sorted_rows(csr)
-    csr_t = csr.transpose()                      # O(nnz), computed once
-    fmt = SellMatrix.from_csr(csr)
-    fmt_t = SellMatrix.from_csr(csr_t)
-    flat_f = sell_slot_flat(csr, fmt.w)
-    flat_t = sell_slot_flat(csr_t, fmt_t.w)
+    csr, csr_t = pack.csr, pack.csr_t
+    fmt, fmt_t = pack.fmt, pack.fmt_t
+    flat_f, flat_t = pack.flat_f, pack.flat_t
 
-    def signed_idx_and_mask(f, flat):
-        mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
-        mask[flat] = True
-        mask = mask.reshape(f.vals.shape)
-        return jnp.asarray(np.where(mask, np.asarray(f.idx), -1)
-                           .astype(np.int8)), mask
-
-    idx_s, mask = signed_idx_and_mask(fmt, flat_f)
-    idx_ts, mask_t = signed_idx_and_mask(fmt_t, flat_t)
+    s_f, mask = pack.signed_idx(fmt, flat_f)
+    s_t, mask_t = pack.signed_idx(fmt_t, flat_t)
+    idx_s, idx_ts = jnp.asarray(s_f), jnp.asarray(s_t)
     idx = jnp.asarray(fmt.idx)
     idx_t = jnp.asarray(fmt_t.idx)
     params = {"vals": jnp.asarray(fmt.vals), "vals_t": jnp.asarray(fmt_t.vals)}
@@ -264,25 +287,20 @@ def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
     from tpusparse.parallel.mesh import compat_shard_map as _shard_map
     from tpusparse.parallel.sparse import sell_spmm_sharded
 
-    # params/masks/resync are layout-identical to the single-chip version;
-    # delegate for them (costs one extra pack pass at setup — O(nnz), once)
-    apply1, params, masks, resync = trainable_linear(csr)
+    # ONE packing pass shared with the single-chip constructor — the pack
+    # sorts the CSR first, so the slot planes below line up with the params
+    # (an independently rebuilt plane from the caller's UNSORTED csr gave
+    # silently wrong vals gradients)
+    pack = _TwinPack(csr)
+    apply1, params, masks, resync = _trainable_from_pack(pack)
     del apply1
-    fmt = SellMatrix.from_csr(csr)
-    csr_t = csr.transpose()
-    fmt_t = SellMatrix.from_csr(csr_t)
+    fmt, fmt_t = pack.fmt, pack.fmt_t
     d = mesh.shape["n"]
-    # rebuild the signed-idx planes (pad slots -1) used by the kernels;
-    # group-pad them for shard divisibility with -1 so padded groups emit
-    # zero cotangent (a zero-pad would alias in-window offset 0)
-    from tpusparse.formats.sell import sell_slot_flat
 
-    def signed(f, c, axis):
-        flat = sell_slot_flat(c, f.w)
-        mk = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
-        mk[flat] = True
-        s = np.where(mk.reshape(f.vals.shape), np.asarray(f.idx), -1)
-        s = s.astype(np.int8)
+    def signed(f, flat, axis):
+        # group-pad the signed plane for shard divisibility with -1 so
+        # padded groups emit zero cotangent
+        s, _ = pack.signed_idx(f, flat)
         pad = -s.shape[axis] % d
         if pad:
             widths = [(0, 0)] * s.ndim
@@ -290,8 +308,8 @@ def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
             s = np.pad(s, widths, constant_values=-1)
         return jnp.asarray(s)
 
-    idx_s = signed(fmt, csr, 0)        # shard column groups (axis 0)
-    idx_ts = signed(fmt_t, csr_t, 1)   # shard n-windows (axis 1)
+    idx_s = signed(fmt, pack.flat_f, 0)        # shard column groups (axis 0)
+    idx_ts = signed(fmt_t, pack.flat_t, 1)     # shard n-windows (axis 1)
     w_f, w_t = fmt.w, fmt_t.w
     nb_f, nt_t = fmt.vals.shape[0], fmt_t.vals.shape[1]
     mp, np_pad = fmt.padded

@@ -102,15 +102,17 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
 def _training(out):
     """fwd vs fwd+bwd on the trainable path (autodiff.trainable_linear).
 
-    The fori_loop chain below is the same slope method as bench/runner.py,
-    expressed without the replica pool (the train step's params stream 2x
-    format bytes per call, far past VMEM residency)."""
+    Timed via runner.chain_device_time: the params stay device-resident
+    across chain iterations ON PURPOSE — that is how a real training loop
+    holds them, and at 2x format bytes per step they are far past VMEM
+    residency anyway, so the replica pool's anti-residency cycling is
+    unnecessary here."""
     import functools
-    import time
 
     import jax.numpy as jnp
 
     from tpusparse.autodiff import trainable_linear
+    from tpusparse.bench.runner import chain_device_time
     from tpusparse.formats.csr import CsrMatrix
 
     print("## Training: fwd+bwd step, M=N=4096 d=0.5 fp32 "
@@ -132,20 +134,9 @@ def _training(out):
         s, _ = jax.lax.fori_loop(0, k, body, (0.0, xx))
         return s
 
-    k1, k2 = 8, 168
-    c1 = jax.jit(functools.partial(chain, k1))
-    c2 = jax.jit(functools.partial(chain, k2))
-    float(c1(params, x))
-    float(c2(params, x))
-    ts = []
-    for _ in range(7):
-        t0 = time.perf_counter()
-        float(c1(params, x))
-        t1 = time.perf_counter()
-        float(c2(params, x))
-        t2 = time.perf_counter()
-        ts.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
-    step_s = sorted(ts)[len(ts) // 2]
+    step_s = chain_device_time(
+        lambda k: jax.jit(functools.partial(chain, k)), params, x,
+        name="fwd+bwd", k1=8, k2=168).seconds
     fwd = device_time(lambda p, xx: apply(p, xx), params, x,
                       name="fwd", bytes_moved=int(params["vals"].size) * 5)
     print("| pass | per call |", file=out)

@@ -102,6 +102,46 @@ def _chained(fn: Callable[[Any, Any], Any], k: int):
     return run
 
 
+def chain_device_time(
+    chain_of: Callable[[int], Callable[..., Any]],
+    *args: Any,
+    name: str = "chain",
+    k1: int = 8,
+    k2: int = 168,
+    reps: int = 7,
+    bytes_moved: int | None = None,
+    flops: int | None = None,
+    nnz: int | None = None,
+) -> BenchResult:
+    """Slope timing for a caller-built iteration chain.
+
+    For workloads that cannot cycle a replica pool — e.g. a training step
+    whose params are DELIBERATELY device-resident across iterations, exactly
+    as in a real training loop — the caller provides ``chain_of(k)``
+    returning a jitted function of ``*args`` that runs k data-chained
+    iterations and reduces to a scalar. The per-iteration device time is the
+    median over ``reps`` of the paired slopes (T(k2)-T(k1))/(k2-k1); the
+    median pairs each rep's totals so the ~±1 ms tunnel-RTT jitter enters as
+    a zero-mean difference (same rationale as ``device_time``'s "median"
+    estimator). Keep (k2-k1) x expected-iteration-time >= ~10 ms.
+    """
+    run1, run2 = chain_of(k1), chain_of(k2)
+    float(run1(*args))  # compile + sync
+    float(run2(*args))
+    slopes = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        float(run1(*args))
+        t1 = time.perf_counter()
+        float(run2(*args))
+        t2 = time.perf_counter()
+        slopes.append(((t2 - t1) - (t1 - t0)) / (k2 - k1))
+    slopes.sort()
+    sec = max(slopes[len(slopes) // 2], 1e-9)
+    return BenchResult(name=name, seconds=sec, bytes_moved=bytes_moved,
+                       flops=flops, nnz=nnz)
+
+
 def device_time(
     fn: Callable[[Any, Any], Any],
     fmt: Any,

@@ -75,9 +75,15 @@ class SparseLinear:
                     y = y + b
                 return activation(y) if activation is not None else y
 
+        def resync_layer(p):
+            """resync for the layer's flax param subtree: re-ties vals_t
+            from vals and passes every other entry (bias, ...) through."""
+            tied = resync({"vals": p["vals"], "vals_t": p["vals_t"]})
+            return {**dict(p), **tied}
+
         # class attributes: linen Module instances are frozen dataclasses,
         # but attribute lookup falls through to the class
         _SparseLinear.masks = masks
-        _SparseLinear.resync = staticmethod(resync)
+        _SparseLinear.resync = staticmethod(resync_layer)
         _SparseLinear.__name__ = "SparseLinear"
         return _SparseLinear
