@@ -314,3 +314,28 @@ def test_sell_int8_save_load(tmp_path, dense):
     x = generators.random_sparse_vector(dense.shape[0], density=0.5, seed=9)
     assert_close(s2.spmv(x), _ref.sgemv_cpu(x, dense), atol=1e-1,
                  name="loaded-sell-int8")
+
+
+def test_torch_interop():
+    torch = pytest.importorskip("torch")
+    a = generators.random_sparse_matrix(96, 160, density=0.2, seed=91)
+    td = torch.from_numpy(a)
+    # dense / COO / CSR / CSC all land on the same CsrMatrix
+    c_dense = CsrMatrix.from_torch(td)
+    np.testing.assert_array_equal(c_dense.to_dense(), a)
+    for t in (td.to_sparse_coo(), td.to_sparse_csr(), td.to_sparse_csc()):
+        c = CsrMatrix.from_torch(t)
+        assert c.shape == (96, 160)
+        np.testing.assert_array_equal(c.to_dense(), a)
+    # round trip back to torch (sparse CSC of A) and through a kernel
+    back = c_dense.to_torch()
+    np.testing.assert_array_equal(back.to_dense().numpy(), a)
+    from tests.conftest import assert_close
+    from tpusparse.formats.sell import SellMatrix
+
+    x = generators.random_sparse_vector(96, density=0.5, seed=92)
+    assert_close(SellMatrix.from_csr(c_dense).spmv(x),
+                 (np.asarray(x, np.float64) @ a.astype(np.float64)
+                  ).astype(np.float32), name="torch->sell")
+    with pytest.raises(ValueError, match="2-D"):
+        CsrMatrix.from_torch(torch.zeros(3))

@@ -1,0 +1,83 @@
+"""Iterative solver (tpusparse/solve.py): CG over packed formats."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.sell import SellMatrix
+from tpusparse.solve import cg, jacobi_preconditioner
+
+
+def _laplacian_2d(side: int) -> np.ndarray:
+    """SPD 5-point Laplacian on a side x side grid (classic CG workload)."""
+    n = side * side
+    a = np.zeros((n, n), dtype=np.float32)
+    idx = np.arange(n).reshape(side, side)
+    a[np.arange(n), np.arange(n)] = 4.0
+    for (di, dj) in ((0, 1), (1, 0)):
+        src = idx[: side - di, : side - dj].ravel()
+        dst = idx[di:, dj:].ravel()
+        a[src, dst] = -1.0
+        a[dst, src] = -1.0
+    return a
+
+
+@pytest.fixture(scope="module")
+def spd_system():
+    a = _laplacian_2d(16)  # 256 x 256, density ~2%
+    rng = np.random.default_rng(81)
+    z_true = rng.normal(size=256).astype(np.float32)
+    b = (a.astype(np.float64) @ z_true).astype(np.float32)
+    return a, z_true, b
+
+
+def test_cg_converges_on_sell(spd_system):
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    z, info = cg(s, jnp.asarray(b), tol=1e-5)
+    assert float(info["resnorm"]) <= 1e-5 * np.linalg.norm(b) * 1.01
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert 0 < int(info["iters"]) <= 256
+
+
+def test_cg_jits_and_callable_operator(spd_system):
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+
+    @jax.jit
+    def solve(bb):
+        z, info = cg(lambda v: s.spmv(v), bb, tol=1e-5, maxiter=400)
+        return z, info["iters"]
+
+    z, iters = solve(jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert int(iters) <= 400
+
+
+def test_cg_jacobi_preconditioner(spd_system):
+    a, z_true, b = spd_system
+    # scale rows/cols to create wild conditioning that Jacobi fixes
+    d = np.exp(np.linspace(0, 4, 256)).astype(np.float32)
+    a2 = (a * d[None, :]) * d[:, None]
+    b2 = (a2.astype(np.float64) @ z_true).astype(np.float32)
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a2))
+    prec = jacobi_preconditioner(np.diag(a2))
+    z_p, info_p = cg(s, jnp.asarray(b2), tol=1e-5, maxiter=2000, m_inv=prec)
+    _z0, info_0 = cg(s, jnp.asarray(b2), tol=1e-5, maxiter=2000)
+    # preconditioning must strictly reduce iterations on this system
+    assert int(info_p["iters"]) < int(info_0["iters"])
+    # fp32 CG on an ill-conditioned system: solution error scales with
+    # condition number; check it is in the right neighborhood only
+    np.testing.assert_allclose(np.asarray(z_p), z_true, rtol=5e-2,
+                               atol=1e-2)
+
+
+def test_cg_maxiter_and_validation(spd_system):
+    a, _z, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    _z, info = cg(s, jnp.asarray(b), tol=0.0, maxiter=5)
+    assert int(info["iters"]) == 5
+    with pytest.raises(ValueError, match="1-D"):
+        cg(s, jnp.zeros((2, 256)))

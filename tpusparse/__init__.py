@@ -18,6 +18,12 @@ Layers (SURVEY.md §1 "TPU mapping"):
 - ``tpusparse.tune``      — step-geometry heuristic + on-device autotuner.
 - ``tpusparse.parallel``  — mesh / collectives / partitioned multi-chip SpMV
   (no reference counterpart; mandated by BASELINE.json north star).
+- ``tpusparse.prune``     — dense->sparse pruning strategies (magnitude,
+  N:M structured, block) shaped by what the TPU kernels reward.
+- ``tpusparse.nn``        — Flax layer (``SparseLinear``) over the trainable
+  twin-layout path.
+- ``tpusparse.solve``     — jittable iterative solvers (CG) over any packed
+  format.
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
   harness, replacing SparseSgemvTester (tester.cpp).
 - ``tpusparse.bench``     — timing, roofline accounting, reports, replacing
@@ -33,3 +39,5 @@ from tpusparse.config import SpmvConfig  # noqa: F401
 from tpusparse.formats.auto import auto_format, matrix_stats, matrix_stats_csr  # noqa: F401
 from tpusparse.autodiff import (linear_map, linear_map_sharded,  # noqa: F401
                                 trainable_linear, trainable_linear_sharded)
+from tpusparse.prune import (magnitude_prune, nm_prune,  # noqa: F401
+                             block_prune)

@@ -165,6 +165,41 @@ class CsrMatrix:
         return sparse.csc_matrix(
             (self.values, self.col_idx, self.row_ptr), shape=(m, n))
 
+    @classmethod
+    def from_torch(cls, t) -> "CsrMatrix":
+        """Any 2-D ``torch.Tensor``: dense (strided) or sparse
+        COO/CSR/CSC, on any torch device. The on-ramp for weights pruned
+        in a torch training stack (the reference's audience is CUDA/torch
+        users; this is the switching path). Gradients are detached; data
+        is copied to host."""
+        import torch
+
+        if t.ndim != 2:
+            raise ValueError(f"expected a 2-D tensor, got shape "
+                             f"{tuple(t.shape)}")
+        t = t.detach()
+        if t.layout == torch.strided:
+            return cls.from_dense(t.cpu().numpy())
+        if t.layout in (torch.sparse_csr, torch.sparse_csc):
+            t = t.to_sparse_coo()
+        t = t.coalesce().cpu()
+        idx = t.indices().numpy()
+        m, n = t.shape
+        return cls.from_coo(int(m), int(n), idx[0], idx[1],
+                            t.values().numpy())
+
+    def to_torch(self):
+        """The same matrix as ``torch.sparse_csc_tensor`` — our CSR of A.T
+        IS CSC of A, so the handoff is pointer-exact (no resort)."""
+        import torch
+
+        m, n = self.shape
+        return torch.sparse_csc_tensor(
+            torch.from_numpy(np.ascontiguousarray(self.row_ptr)).long(),
+            torch.from_numpy(np.ascontiguousarray(self.col_idx)).long(),
+            torch.from_numpy(np.ascontiguousarray(self.values)),
+            size=(m, n))
+
     def transpose(self) -> "CsrMatrix":
         """``CsrMatrix`` describing ``A.T`` (shape (n, m)) — the packing
         input for a format that multiplies by A.T, e.g. the VJP of
