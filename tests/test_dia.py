@@ -1,0 +1,129 @@
+"""DIA diagonal format (formats/dia.py) + banded routing."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.conftest import assert_close
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.formats.dia import DiaMatrix
+from tpusparse.testing import generators, reference
+
+
+@pytest.fixture(scope="module")
+def banded():
+    # non-square, band crossing both edges, plus far off-diagonals
+    a = generators.random_sparse_matrix(384, 320, density=0.9, seed=101)
+    mask = np.zeros_like(a, dtype=bool)
+    ii, jj = np.indices(a.shape)
+    d = ii - jj
+    for off in (-130, -2, -1, 0, 1, 3, 257):
+        mask |= d == off
+    return np.where(mask, a, 0).astype(np.float32)
+
+
+def test_round_trip(banded):
+    m = DiaMatrix.from_dense(banded)
+    np.testing.assert_array_equal(m.to_dense(), banded)
+    assert m.nnz == np.count_nonzero(banded)
+    assert len(m.offsets) <= 7
+    assert all(isinstance(d, int) for d in m.offsets)
+
+
+def test_spmv_spmm_match_oracle(banded):
+    m = DiaMatrix.from_dense(banded)
+    x = generators.random_sparse_vector(384, density=0.5, seed=102)
+    assert_close(m.spmv(jnp.asarray(x)), reference.sgemv_cpu(x, banded),
+                 name="dia spmv")
+    xb = generators.random_sparse_batch(5, 384, density=0.5, seed=103)
+    assert_close(m.spmm(jnp.asarray(xb)),
+                 (np.asarray(xb, np.float64)
+                  @ banded.astype(np.float64)).astype(np.float32),
+                 name="dia spmm")
+    # spmv() on a 2-D x delegates to spmm
+    assert m.spmv(jnp.asarray(xb)).shape == (5, 320)
+
+
+def test_jit_and_pytree(banded):
+    m = DiaMatrix.from_dense(banded)
+    x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
+                                                    seed=104))
+
+    @jax.jit
+    def f(fmt, v):
+        return fmt.spmv(v)
+
+    assert_close(f(m, x), m.spmv(x), name="dia jit")
+    leaves, treedef = jax.tree_util.tree_flatten(m)
+    assert len(leaves) == 1
+    m2 = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert m2.offsets == m.offsets
+
+
+def test_from_csr_no_densify_and_duplicates():
+    # duplicates in COO sum, like every other packer
+    rows = np.array([0, 0, 5, 9])
+    cols = np.array([0, 0, 5, 3])
+    vals = np.array([1.0, 2.0, 4.0, -1.0], np.float32)
+    c = CsrMatrix.from_coo(12, 10, rows, cols, vals)
+    m = DiaMatrix.from_csr(c)
+    d = m.to_dense()
+    assert d[0, 0] == 3.0 and d[5, 5] == 4.0 and d[9, 3] == -1.0
+
+
+def test_max_diags_guard():
+    a = generators.random_sparse_matrix(256, 256, density=0.5, seed=105)
+    with pytest.raises(ValueError, match="diagonals"):
+        DiaMatrix.from_csr(CsrMatrix.from_dense(a), max_diags=16)
+
+
+def test_auto_routes_banded_to_dia(banded):
+    from tpusparse.formats.auto import auto_format, matrix_stats, \
+        matrix_stats_csr
+
+    s_d = matrix_stats(banded)
+    c = CsrMatrix.from_dense(banded)
+    s_c = matrix_stats_csr(c)
+    assert s_d["n_diags"] == s_c["n_diags"] == 7
+    assert isinstance(auto_format(banded), DiaMatrix)
+    assert isinstance(auto_format(c), DiaMatrix)
+    # a uniform-random matrix must NOT route to DIA
+    rnd = generators.random_sparse_matrix(256, 256, density=0.5, seed=106)
+    assert not isinstance(auto_format(rnd), DiaMatrix)
+
+
+def test_save_load(tmp_path, banded):
+    from tpusparse.formats import io
+
+    m = DiaMatrix.from_dense(banded)
+    p = str(tmp_path / "dia.npz")
+    io.save(p, m)
+    m2 = io.load(p)
+    assert isinstance(m2, DiaMatrix)
+    assert m2.offsets == m.offsets
+    np.testing.assert_array_equal(np.asarray(m2.vals), np.asarray(m.vals))
+
+
+def test_empty_matrix():
+    c = CsrMatrix.from_coo(64, 64, np.zeros(0, np.int64),
+                           np.zeros(0, np.int64), np.zeros(0, np.float32))
+    m = DiaMatrix.from_csr(c)
+    y = m.spmv(jnp.ones(64))
+    np.testing.assert_array_equal(np.asarray(y), np.zeros(64, np.float32))
+
+
+def test_cg_on_dia_laplacian():
+    """The solver workload that motivated the format (BENCH.md §Solver)."""
+    from tests.test_solve import _laplacian_2d
+    from tpusparse.formats.auto import auto_format
+    from tpusparse.solve import cg
+
+    a = _laplacian_2d(16)
+    m = auto_format(CsrMatrix.from_dense(a))
+    assert isinstance(m, DiaMatrix)
+    rng = np.random.default_rng(107)
+    z_true = rng.normal(size=256).astype(np.float32)
+    b = jnp.asarray((a.astype(np.float64) @ z_true).astype(np.float32))
+    z, info = cg(m, b, tol=1e-5)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)

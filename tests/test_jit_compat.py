@@ -14,7 +14,7 @@ from tests.conftest import assert_close
 from tpusparse.testing import generators, reference
 
 _FMT = ["sell", "awsp", "bsr", "bell", "binned", "ell", "asp", "tcsr",
-        "tcsr_dense_tier", "rsell"]
+        "tcsr_dense_tier", "rsell", "dia"]
 
 
 def _pack(name, a):
@@ -46,6 +46,12 @@ def _pack(name, a):
         from tpusparse.formats.rsell import RsellMatrix
 
         return RsellMatrix.from_dense(a)
+    if name == "dia":
+        from tpusparse.formats.dia import DiaMatrix
+
+        # a random matrix touches ~m+n diagonals; raise the cap — jit
+        # compatibility is what is under test, not routing
+        return DiaMatrix.from_dense(a, max_diags=1024)
     if name.startswith("tcsr"):
         from tpusparse.formats.tcsr import TcsrMatrix
 

@@ -81,3 +81,18 @@ def test_cg_maxiter_and_validation(spd_system):
     assert int(info["iters"]) == 5
     with pytest.raises(ValueError, match="1-D"):
         cg(s, jnp.zeros((2, 256)))
+
+
+def test_cg_over_sharded_spmv(spd_system):
+    """CG composes with the multi-chip sharded SpMV (operator = a sharded
+    closure over the 8-device mesh)."""
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import sell_spmm_sharded
+
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    z, info = cg(lambda v: sell_spmm_sharded(s, v, mesh, "n"),
+                 jnp.asarray(b), tol=1e-5, maxiter=400)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert int(info["iters"]) <= 400

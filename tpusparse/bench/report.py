@@ -14,6 +14,7 @@ from __future__ import annotations
 import sys
 
 import jax
+import numpy as np
 
 from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes, roofline_fraction
 from tpusparse.bench.runner import device_time
@@ -66,8 +67,8 @@ def _bench_entries(a, x, entries, out):
 
 def main(out=sys.stdout, sections: set[str] | None = None) -> None:
     """sections: subset of {canonical, powerlaw, lowdensity, structured,
-    spmm, tcsr, floors, reduced, crossover, training} to run (None = all).
-    Lets long runs split across timeouts."""
+    spmm, tcsr, floors, reduced, crossover, training, solver} to run
+    (None = all). Lets long runs split across timeouts."""
     def on(name):
         return sections is None or name in sections
 
@@ -97,6 +98,85 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
         _crossover(out)
     if on("training"):
         _training(out)
+    if on("solver"):
+        _solver(out)
+
+
+def _solver(out, side: int = 1024, k1: int = 16, k2: int = 272):
+    """CG per-iteration cost on a large 5-point Laplacian (solve.py).
+
+    The solver's whole runtime is SpMV + a handful of n-vector ops, so the
+    per-iteration time should sit at the bytes roofline of (format bytes +
+    vector traffic). Timed with chain_device_time over fixed-iteration CG
+    (tol=0, maxiter=k) — the while_loop IS the chain. ``side``/``k1``/``k2``
+    shrink the run for CPU smoke tests (interpret-mode Pallas is ~1000x)."""
+    import functools
+
+    import jax.numpy as jnp
+
+    from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes
+    from tpusparse.bench.runner import chain_device_time
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.solve import cg
+
+    print(f"## Solver: CG on a 5-point Laplacian, {side * side:,} unknowns "
+          "(solve.py)\n", file=out)
+    print("solver", file=sys.stderr)
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    rows = [np.arange(n)]
+    cols = [np.arange(n)]
+    vals = [np.full(n, 4.0, np.float32)]
+    for (di, dj) in ((0, 1), (1, 0)):
+        src = idx[: side - di, : side - dj].ravel()
+        dst = idx[di:, dj:].ravel()
+        for (r, c) in ((src, dst), (dst, src)):
+            rows.append(r)
+            cols.append(c)
+            vals.append(np.full(r.size, -1.0, np.float32))
+    lap = CsrMatrix.from_coo(n, n, np.concatenate(rows),
+                             np.concatenate(cols), np.concatenate(vals))
+    # banded at this scale is exactly what the router exists for: SELL's
+    # GLOBAL width pays w slots in every one of the 8192 windows (256 GB
+    # here); RSELL's ragged per-tile widths pay only where the band lives
+    from tpusparse.formats.auto import auto_format
+
+    s = auto_format(lap)
+    b = jax.device_put(jnp.asarray(
+        np.random.default_rng(0).normal(size=n).astype(np.float32)))
+    s = jax.device_put(s)
+
+    def fixed_iters(k, fmt, bb):
+        z, _info = cg(fmt, bb, tol=0.0, maxiter=k)
+        return jnp.sum(z)
+
+    def chain_of(k):
+        return jax.jit(functools.partial(fixed_iters, k),
+                       static_argnums=())
+
+    # per-iteration traffic: format bytes + ~7 n-vector reads/writes
+    # (apply p -> ap; x,r,p,z updates; two dots)
+    fmt_bytes = format_bytes(s)
+    iter_bytes = fmt_bytes + 7 * n * 4
+    r = chain_device_time(chain_of, s, b, name="cg-iter", k1=k1, k2=k2,
+                          bytes_moved=iter_bytes)
+    hbm = detect_hbm_gbps()
+    sol = iter_bytes / (hbm * 1e9)
+    print(f"| quantity | value |", file=out)
+    print(f"|---|---|", file=out)
+    print(f"| matrix | {n:,} x {n:,}, nnz {lap.nnz:,} "
+          f"(d={lap.nnz / n / n:.2e}), routed to "
+          f"{type(s).__name__} |", file=out)
+    print(f"| format bytes / iter | {fmt_bytes / 1e6:.1f} MB "
+          f"(+ {7 * n * 4 / 1e6:.1f} MB vector traffic) |", file=out)
+    print(f"| CG iteration | {r.seconds * 1e6:.1f} us "
+          f"({r.gbps:.0f} GB/s, {r.seconds / sol:.2f}x bytes floor) |",
+          file=out)
+    print(f"\nA dense operator at this size would be "
+          f"{n * n * 4 / 1e12:.1f} TB; the solver runs at the sparse "
+          f"format's bytes speed — the measured SpMV advantage IS the "
+          f"solver advantage.\n", file=out)
 
 
 def _training(out):

@@ -269,7 +269,7 @@ def main(argv=None) -> int:
             p.add_argument("--sections", default=None,
                            help="comma list: canonical,powerlaw,lowdensity,"
                                 "structured,spmm,tcsr,floors,reduced,training,"
-                                "crossover (default all)")
+                                "crossover,solver (default all)")
             p.add_argument("--cpu", action="store_true")
             p.set_defaults(fn=fn)
             continue

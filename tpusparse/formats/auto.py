@@ -4,6 +4,11 @@ The reference hard-codes which kernel runs (tester.cpp:54-63); a framework
 should route a matrix to the format whose measured regime it falls in
 (crossovers from BENCH.md):
 
+- banded (few distinct diagonals, diagonal storage within ~25% of the
+  slot-format's nnz-proportional bytes): DIA — k statically shifted
+  elementwise streams, no gathers, no tile quantum; the measured
+  counter-case is a 1M-unknown Laplacian where tile formats paid 8x bytes
+  and a 36x DMA-issue floor (BENCH.md §Solver).
 - near-dense (d > 0.65): compression cannot beat streaming dense A — use the
   ASP window-skip path (dense A + activation skipping; ~dense baseline on
   i.i.d. X, wins on structured X).
@@ -55,9 +60,12 @@ def matrix_stats(a: np.ndarray) -> dict[str, Any]:
     w_global = int(col_w.max()) if col_w.size else 0
     w_typical = float(np.median(col_w)) if col_w.size else 0.0
 
+    ii, jj = np.nonzero(mask)
+    n_diags = int(np.unique(ii - jj).size)
+
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
-                w_global=w_global, w_typical=w_typical)
+                w_global=w_global, w_typical=w_typical, n_diags=n_diags)
 
 
 def matrix_stats_csr(csr) -> dict[str, Any]:
@@ -82,9 +90,11 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
     w_global = int(col_w.max()) if col_w.size else 0
     w_typical = float(np.median(col_w)) if col_w.size else 0.0
 
+    n_diags = int(np.unique(mi - r).size)
+
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
-                w_global=w_global, w_typical=w_typical)
+                w_global=w_global, w_typical=w_typical, n_diags=n_diags)
 
 
 def auto_format(a, *, expect_structured_x: bool = False,
@@ -115,6 +125,17 @@ def auto_format(a, *, expect_structured_x: bool = False,
     s = stats or (matrix_stats_csr(a) if is_csr else matrix_stats(a))
 
     m, n = a.shape
+    # banded first: when diagonal storage (4*k*n bytes, zero overhead
+    # streams) is within ~25% of the slot formats' nnz-proportional floor
+    # (5 B/nnz), nothing tile- or gather-shaped can beat it — and tile
+    # formats are CATASTROPHIC on wide-spread bands (the (8,128) VREG
+    # quantum per touched tile; measured 8x bytes + 36x DMA floor on the
+    # 1M Laplacian, BENCH.md §Solver)
+    if 0 < s.get("n_diags", 1 << 30) <= 512 and \
+            4 * s["n_diags"] * n <= 1.25 * 5 * s["nnz"]:
+        from tpusparse.formats.dia import DiaMatrix
+
+        return DiaMatrix.from_csr(a) if is_csr else DiaMatrix.from_dense(a)
     est_sell_bytes = (-(-n // _LANES)) * (-(-m // _LANES)) * \
         round_up(max(s["w_global"], 8), 8) * _LANES * 5
     dense_bytes = m * n * 4

@@ -1,0 +1,142 @@
+"""DIA: diagonal-offset storage for banded matrices.
+
+Motivating measurement (BENCH.md §Solver): a 1M-unknown 5-point Laplacian
+routed to tile formats pays the (8, 128) VREG quantum on every one of
+~41k touched tiles — 210 MB stored for 26 MB of payload, and a grid-step
+DMA-issue floor of ~0.25 us/tile (10.2 ms per SpMV, 36x the bytes floor).
+Banded structure is not tile-shaped; it is SHIFT-shaped:
+
+    y[c] = sum_d  vals_d[c] * x[c + d]        (d = m_index - out_index)
+
+so the TPU-native carrier is k dense diagonal arrays and k statically
+shifted elementwise multiply-adds — pure VPU streams that XLA fuses into
+one pass, no gathers, no tiles, no Pallas needed. Bytes = k*n*4 regardless
+of where the band sits. The reference has no banded format (its tester is
+uniform-random, tester.cpp:106); this closes the gap the solver bench
+exposed, and `auto_format` routes to it whenever the diagonal count is
+small enough that DIA bytes undercut the slot formats.
+
+Offsets are STATIC (pytree aux, a tuple of ints): each diagonal's shift
+becomes a trace-time `lax.slice`, so `jit` sees fixed shapes and the
+whole SpMV lowers to one fused elementwise loop.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def dia_pack_csr(csr, max_diags: int = 512) -> dict[str, Any]:
+    """Pack from ``CsrMatrix`` (CSR of A.T) in O(nnz + k*n).
+
+    Raises if the matrix touches more than ``max_diags`` distinct
+    diagonals — DIA on scattered structure stores mostly zeros and the
+    per-diagonal unrolled loop would bloat the jit; route such matrices
+    elsewhere (`auto_format` checks before packing).
+    """
+    m, n = csr.shape
+    r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
+    mi = csr.col_idx.astype(np.int64)
+    d = mi - r
+    offsets = np.unique(d)
+    if offsets.size > max_diags:
+        raise ValueError(
+            f"{offsets.size} distinct diagonals > max_diags={max_diags}; "
+            "DIA suits banded matrices — use auto_format for routing")
+    vals = np.zeros((max(offsets.size, 1), n), dtype=np.float32)
+    if d.size:
+        slot = np.searchsorted(offsets, d)
+        # duplicates sum, matching every other packer
+        np.add.at(vals, (slot, r), csr.values.astype(np.float32))
+    return dict(offsets=tuple(int(v) for v in offsets), vals=vals,
+                shape=(m, n), nnz=int(csr.nnz))
+
+
+@jax.tree_util.register_pytree_node_class
+class DiaMatrix:
+    """k diagonals of A as (k, n) dense rows; ``offsets[i] = m_idx - out_idx``."""
+
+    def __init__(self, offsets: tuple, vals: Any, shape, nnz: int):
+        self.offsets = tuple(offsets)   # static: aux data, hashable
+        self.vals = vals                # (k, n) fp32
+        self.shape = shape
+        self.nnz = nnz
+
+    def tree_flatten(self):
+        return ((self.vals,), (self.offsets, self.shape, self.nnz))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (vals,) = children
+        offsets, shape, nnz = aux
+        return cls(offsets, vals, shape, nnz)
+
+    @classmethod
+    def _io_rebuild(cls, aux, leaves):
+        if len(leaves) != 1:
+            raise ValueError(f"{len(leaves)} leaves, expected 1")
+        return cls.tree_unflatten(tuple(aux), leaves)
+
+    def __repr__(self) -> str:
+        return (f"DiaMatrix(shape={self.shape}, nnz={self.nnz}, "
+                f"diags={len(self.offsets)}, "
+                f"{self.device_bytes() / 1e6:.1f} MB)")
+
+    @classmethod
+    def from_csr(cls, csr, max_diags: int = 512) -> "DiaMatrix":
+        return cls(**dia_pack_csr(csr, max_diags=max_diags))
+
+    @classmethod
+    def from_dense(cls, a: np.ndarray, max_diags: int = 512) -> "DiaMatrix":
+        from tpusparse.formats.csr import CsrMatrix
+
+        return cls.from_csr(CsrMatrix.from_dense(np.asarray(a)),
+                            max_diags=max_diags)
+
+    def device_bytes(self) -> int:
+        return int(np.prod(self.vals.shape)) * 4
+
+    def to_dense(self) -> np.ndarray:
+        m, n = self.shape
+        a = np.zeros((m, n), dtype=np.float32)
+        vals = np.asarray(self.vals)
+        for i, d in enumerate(self.offsets):
+            c = np.arange(max(0, -d), min(n, m - d), dtype=np.int64)
+            a[c + d, c] = vals[i, c]
+        return a
+
+    def _x_pad(self) -> tuple[int, int]:
+        m, n = self.shape
+        dmin = min(self.offsets) if self.offsets else 0
+        dmax = max(self.offsets) if self.offsets else 0
+        return max(0, -dmin), max(0, dmax + n - m)
+
+    def spmv(self, x: Any) -> jax.Array:
+        """y = x @ A: k statically-shifted fused multiply-adds (VPU)."""
+        x = jnp.asarray(x)
+        if x.ndim != 1:
+            return self.spmm(x)
+        m, n = self.shape
+        lo, hi = self._x_pad()
+        xp = jnp.pad(x.astype(jnp.float32), (lo, hi))
+        y = jnp.zeros(n, jnp.float32)
+        for i, d in enumerate(self.offsets):
+            y = y + self.vals[i] * lax.slice(xp, (d + lo,), (d + lo + n,))
+        return y
+
+    def spmm(self, x: Any) -> jax.Array:
+        x = jnp.asarray(x)
+        m, n = self.shape
+        lo, hi = self._x_pad()
+        xp = jnp.pad(x.astype(jnp.float32), ((0, 0), (lo, hi)))
+        y = jnp.zeros((x.shape[0], n), jnp.float32)
+        for i, d in enumerate(self.offsets):
+            y = y + self.vals[i][None, :] * lax.slice(
+                xp, (0, d + lo), (x.shape[0], d + lo + n))
+        return y

@@ -15,6 +15,7 @@ from tpusparse.formats.awsp import AwspMatrix
 from tpusparse.formats.bell import BellMatrix
 from tpusparse.formats.binned import BinnedSellMatrix
 from tpusparse.formats.bsr import BsrMatrix
+from tpusparse.formats.dia import DiaMatrix
 from tpusparse.formats.rsell import RsellMatrix
 from tpusparse.formats.sell import SellMatrix
 from tpusparse.formats.tcsr import TcsrMatrix
@@ -22,7 +23,7 @@ from tpusparse.kernels.asp_spmv import AspMatrix
 
 _KINDS = {"sell": SellMatrix, "bell": BellMatrix, "bsr": BsrMatrix,
           "awsp": AwspMatrix, "binned": BinnedSellMatrix, "asp": AspMatrix,
-          "tcsr": TcsrMatrix, "rsell": RsellMatrix}
+          "tcsr": TcsrMatrix, "rsell": RsellMatrix, "dia": DiaMatrix}
 
 
 def save(path: str, fmt) -> None:
