@@ -127,3 +127,69 @@ def test_cg_on_dia_laplacian():
     b = jnp.asarray((a.astype(np.float64) @ z_true).astype(np.float32))
     z, info = cg(m, b, tol=1e-5)
     np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+
+
+@pytest.fixture(scope="module")
+def banded_sq():
+    # square, band within +-n/D so the halo partition applies at D=8
+    a = generators.random_sparse_matrix(512, 512, density=0.9, seed=108)
+    mask = np.zeros_like(a, dtype=bool)
+    ii, jj = np.indices(a.shape)
+    d = ii - jj
+    for off in (-63, -5, 0, 1, 33):
+        mask |= d == off
+    return np.where(mask, a, 0).astype(np.float32)
+
+
+@pytest.mark.parametrize("partition", ["halo", "n"])
+def test_sharded_spmv_spmm(banded_sq, partition):
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    m = DiaMatrix.from_dense(banded_sq)
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    x = generators.random_sparse_vector(512, density=0.5, seed=109)
+    assert_close(dia_spmm_sharded(m, jnp.asarray(x), mesh, partition),
+                 reference.sgemv_cpu(x, banded_sq),
+                 name=f"dia sharded spmv [{partition}]")
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=110)
+    assert_close(dia_spmm_sharded(m, jnp.asarray(xb), mesh, partition),
+                 (np.asarray(xb, np.float64)
+                  @ banded_sq.astype(np.float64)).astype(np.float32),
+                 name=f"dia sharded spmm [{partition}]")
+
+
+def test_sharded_guards(banded, banded_sq):
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    # non-square operator has no aligned slabs
+    with pytest.raises(ValueError, match="square"):
+        dia_spmm_sharded(DiaMatrix.from_dense(banded), jnp.ones(384), mesh)
+    # band wider than the 64-element slab cannot halo at D=8
+    wide = np.zeros((512, 512), np.float32)
+    ii = np.arange(382)
+    wide[ii + 130, ii] = 1.0
+    with pytest.raises(ValueError, match="halo"):
+        dia_spmm_sharded(DiaMatrix.from_dense(wide), jnp.ones(512), mesh)
+    # ... but the replicated-X partition still handles it
+    y = dia_spmm_sharded(DiaMatrix.from_dense(wide), jnp.ones(512), mesh,
+                         partition="n")
+    assert_close(y, reference.sgemv_cpu(np.ones(512, np.float32), wide),
+                 name="dia sharded wide [n]")
+
+
+def test_sharded_nondivisible(banded_sq):
+    """n not divisible by D: zero-column padding covers it."""
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    a = banded_sq[:500, :500].copy()
+    m = DiaMatrix.from_dense(a)
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    x = generators.random_sparse_vector(500, density=0.5, seed=111)
+    for partition in ("halo", "n"):
+        assert_close(dia_spmm_sharded(m, jnp.asarray(x), mesh, partition),
+                     reference.sgemv_cpu(x, a),
+                     name=f"dia sharded 500 [{partition}]")

@@ -762,3 +762,88 @@ def bsr_spmm_sharded(packed: dict[str, Any], x: Any, mesh: Mesh) -> jax.Array:
         raise ValueError(f"unknown partition {partition!r}")
     y = y[:b, :packed["shape"][1]]
     return y[0] if squeeze else y
+
+
+# ----------------------------- DIA -----------------------------------------
+
+
+def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Array:
+    """y = x @ A with DIA-format A (``formats/dia.py``) sharded over ``mesh``.
+
+    Banded structure is the textbook stencil-halo case: each chip owns a
+    contiguous slab of output columns, and the only remote X it needs is a
+    halo of width max|offset| at each slab edge. Partitions:
+
+    - ``halo`` — X shards with the output slabs; one ``ppermute`` each way
+      moves just the (hl + hr) halo elements per batch row over ICI, then
+      the k shifted fused multiply-adds run on purely local data. Comm
+      volume ∝ BANDWIDTH, not m — the 1M-unknown Laplacian's halo is 1024
+      of 131k elements/chip at D=8 (0.8%). Requires a square operator and
+      halos that fit the neighbor slab (max|offset| <= n/D); the packer
+      zeroes out-of-range diagonal entries, so the ring's wrap-around halo
+      garbage at the global edges multiplies zero coefficients.
+    - ``n`` — X replicated, diagonals shard on their column axis; no
+      steady-state comm (matches the other formats' ``n`` partition).
+    """
+    x2d, squeeze = _as_2d(x)
+    m, n = dm.shape
+    d = mesh.shape["n"]
+    offsets = dm.offsets
+    dmin = min(offsets) if offsets else 0
+    dmax = max(offsets) if offsets else 0
+    vals = _pad_axis(jnp.asarray(dm.vals), 1, d)      # zero columns
+    np_ = vals.shape[1]
+    n_loc = np_ // d
+    b = x2d.shape[0]
+
+    if partition == "halo":
+        if m != n:
+            raise ValueError("partition='halo' needs a square operator "
+                             f"(shape {dm.shape}); use partition='n'")
+        hl, hr = max(0, -dmin), max(0, dmax)
+        if max(hl, hr) > n_loc:
+            raise ValueError(
+                f"halo {max(hl, hr)} exceeds the {n_loc}-element slab at "
+                f"D={d}; band too wide for this mesh — use partition='n'")
+        x2d = x2d.astype(jnp.float32)
+        if x2d.shape[1] != np_:
+            x2d = jnp.pad(x2d, ((0, 0), (0, np_ - x2d.shape[1])))
+
+        def f(vals_loc, x_loc):
+            parts = []
+            if hl:
+                parts.append(comm.ring_shift(x_loc[:, -hl:], "n", shift=1))
+            parts.append(x_loc)
+            if hr:
+                parts.append(comm.ring_shift(x_loc[:, :hr], "n", shift=-1))
+            xp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x_loc
+            y = jnp.zeros((b, n_loc), jnp.float32)
+            for i, off in enumerate(offsets):
+                y = y + vals_loc[i][None, :] * lax.slice(
+                    xp, (0, off + hl), (b, off + hl + n_loc))
+            return y
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P(None, "n"), P(None, "n")),
+                       out_specs=P(None, "n"))(vals, x2d)
+    elif partition == "n":
+        lo = max(0, -dmin)
+        hi = max(0, dmax + np_ - m)
+        xp = jnp.pad(x2d.astype(jnp.float32), ((0, 0), (lo, hi)))
+
+        def f(vals_loc, x_full):
+            c0 = lax.axis_index("n") * n_loc
+            y = jnp.zeros((b, n_loc), jnp.float32)
+            for i, off in enumerate(offsets):
+                xs = lax.dynamic_slice_in_dim(x_full, c0 + off + lo, n_loc,
+                                              axis=1)
+                y = y + vals_loc[i][None, :] * xs
+            return y
+
+        y = _shard_map(f, mesh=mesh, check_vma=False,
+                       in_specs=(P(None, "n"), P()),
+                       out_specs=P(None, "n"))(vals, xp)
+    else:
+        raise ValueError(f"unknown partition {partition!r}")
+    y = y[:, :n]
+    return y[0] if squeeze else y
