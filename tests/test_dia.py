@@ -193,3 +193,34 @@ def test_sharded_nondivisible(banded_sq):
         assert_close(dia_spmm_sharded(m, jnp.asarray(x), mesh, partition),
                      reference.sgemv_cpu(x, a),
                      name=f"dia sharded 500 [{partition}]")
+
+
+def test_native_autodiff(banded):
+    """DIA needs no custom VJP: spmv is static slices + FMAs, so jax.grad
+    flows through natively — both d/dx and d/dvals (the trainable-banded
+    case) against the dense closed forms."""
+    m = DiaMatrix.from_dense(banded)
+    x = jnp.asarray(generators.random_sparse_vector(384, density=0.5,
+                                                    seed=112))
+    g = jnp.asarray(np.random.default_rng(113).normal(
+        size=320).astype(np.float32))
+
+    dx = jax.grad(lambda v: jnp.vdot(g, m.spmv(v)))(x)
+    assert_close(dx, reference.sgemv_cpu(np.asarray(g), banded.T),
+                 name="dia d/dx")
+
+    def loss_vals(vals):
+        m2 = DiaMatrix(m.offsets, vals, m.shape, m.nnz)
+        return jnp.vdot(g, m2.spmv(x))
+
+    dvals = jax.grad(loss_vals)(jnp.asarray(m.vals))
+    # dL/dvals[i, c] = g[c] * x[c + d_i]  (zero where the diagonal exits)
+    xp = np.pad(np.asarray(x), m._x_pad())
+    lo = m._x_pad()[0]
+    for i, off in enumerate(m.offsets):
+        want = np.asarray(g) * xp[off + lo:off + lo + 320]
+        ii = np.arange(320)
+        want[(ii + off < 0) | (ii + off >= 384)] = 0.0
+        got = np.array(dvals[i])
+        got[(ii + off < 0) | (ii + off >= 384)] = 0.0
+        np.testing.assert_allclose(got, want, atol=1e-4)

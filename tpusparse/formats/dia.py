@@ -19,6 +19,11 @@ small enough that DIA bytes undercut the slot formats.
 Offsets are STATIC (pytree aux, a tuple of ints): each diagonal's shift
 becomes a trace-time `lax.slice`, so `jit` sees fixed shapes and the
 whole SpMV lowers to one fused elementwise loop.
+
+Unlike the Pallas formats (which need `autodiff.linear_map`'s custom
+VJPs), DIA is natively differentiable: slices/pads have built-in
+adjoints, so `jax.grad` flows through d/dx AND d/dvals (trainable
+banded operators) at full fused speed (tests/test_dia.py).
 """
 
 from __future__ import annotations
