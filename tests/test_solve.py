@@ -96,3 +96,57 @@ def test_cg_over_sharded_spmv(spd_system):
                  jnp.asarray(b), tol=1e-5, maxiter=400)
     np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
     assert int(info["iters"]) <= 400
+
+
+def _convection_diffusion(side: int, c: float = 0.4) -> np.ndarray:
+    """Nonsymmetric banded operator: 2-D Laplacian + upwind convection."""
+    a = _laplacian_2d(side)
+    n = side * side
+    idx = np.arange(n).reshape(side, side)
+    src = idx[:, : side - 1].ravel()
+    a[src, src + 1] += -c          # downstream coupling only: asymmetric
+    return a
+
+
+def test_bicgstab_nonsymmetric_dia():
+    """The system CG cannot solve; DIA packs S.T so spmv applies S."""
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.solve import bicgstab
+
+    s_mat = _convection_diffusion(16)
+    assert not np.allclose(s_mat, s_mat.T)
+    fmt = DiaMatrix.from_dense(np.ascontiguousarray(s_mat.T))
+    rng = np.random.default_rng(82)
+    z_true = rng.normal(size=256).astype(np.float32)
+    b = jnp.asarray((s_mat.astype(np.float64) @ z_true).astype(np.float32))
+    # fp32 BiCGStab needs ~2x the fp64 scipy count (138) on this system
+    z, info = bicgstab(fmt, b, tol=1e-6, maxiter=1000)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert int(info["iters"]) < 1000
+    # jit-compatibility: the whole solve is one compiled while_loop
+    z2, _ = jax.jit(lambda f, bb: bicgstab(f, bb, tol=1e-6,
+                                           maxiter=1000))(fmt, b)
+    np.testing.assert_allclose(np.asarray(z2), z_true, atol=5e-3)
+
+
+def test_bicgstab_preconditioned_and_validation(spd_system):
+    from tpusparse.solve import bicgstab
+
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    prec = jacobi_preconditioner(np.diag(a))
+    z, info = bicgstab(s, jnp.asarray(b), tol=1e-6, m_inv=prec)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    zp, infop = bicgstab(s, jnp.asarray(b), tol=1e-6)
+    assert int(info["iters"]) <= int(infop["iters"])
+    with pytest.raises(ValueError, match="1-D"):
+        bicgstab(s, jnp.zeros((2, 256)))
+
+
+def test_bicgstab_maxiter(spd_system):
+    from tpusparse.solve import bicgstab
+
+    a, _z, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    _, info = bicgstab(s, jnp.asarray(b), tol=0.0, maxiter=5)
+    assert int(info["iters"]) == 5

@@ -7,10 +7,11 @@ composes with the packed formats (``fmt.spmv``), with ``jax.jit`` (pure
 (``parallel.sparse.sell_spmm_sharded`` closures) — so the measured
 kernel speed translates directly into solver throughput.
 
-Convention note: the library op is ``y = x @ A`` (CSR of A.T, formats/csr.py).
-For a SYMMETRIC system matrix ``S`` this equals ``S x``, so ``cg(fmt, b)``
-solves ``S z = b`` when ``fmt`` packs ``S``. For a nonsymmetric ``A``, pass
-the format packing ``A.T`` to apply ``A`` (or use ``normal=True`` below).
+Convention note: the library op is ``y = x @ A`` (CSR of A.T, formats/csr.py),
+i.e. ``fmt.spmv(v) == Aᵀ v`` for the packed dense ``A``. For a SYMMETRIC
+system matrix ``S`` this equals ``S v``, so ``cg(fmt, b)`` solves
+``S z = b`` when ``fmt`` packs ``S``. For a NONSYMMETRIC ``S`` use
+``bicgstab`` with the format packing ``S.T`` (so ``spmv`` applies ``S``).
 """
 
 from __future__ import annotations
@@ -96,3 +97,73 @@ def jacobi_preconditioner(diag: jax.Array,
         return v * inv
 
     return apply
+
+
+def bicgstab(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
+             tol: float = 1e-5, atol: float = 0.0,
+             maxiter: int | None = None,
+             m_inv: Callable[[jax.Array], jax.Array] | None = None):
+    """BiCGStab for ``S z = b`` with NONSYMMETRIC ``S`` (van der Vorst '92)
+    — what ``cg`` cannot touch (convection-diffusion bands, asymmetric
+    graph operators). Two SpMVs per iteration, so solver time ~= 2 x iters
+    x the format's measured SpMV time.
+
+    ``a`` applies ``v -> S v``: a packed format of ``S.T`` under the
+    library's ``y = x @ A`` convention (for symmetric ``S`` pack ``S``
+    itself), or any callable. Same stopping rule, preconditioner hook and
+    return shape as ``cg``; fully jittable (one fixed-shape
+    ``lax.while_loop``). A breakdown (rho or omega ~ 0) freezes the state
+    via ``jnp.where`` guards and the residual test ends the loop — no
+    NaN poisoning inside ``jit``.
+    """
+    apply = _as_apply(a)
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(f"bicgstab solves one system; b must be 1-D, got "
+                         f"shape {b.shape}")
+    n = b.shape[-1]
+    maxiter = n if maxiter is None else maxiter
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    prec = (lambda v: v) if m_inv is None else m_inv
+    tiny = jnp.float32(1e-30)
+
+    def vdot(u, v):
+        return jnp.sum((u * v).astype(jnp.float32))
+
+    r = b - apply(x)
+    rhat = r                                   # frozen shadow residual
+    rho = alpha = omega = jnp.float32(1.0)
+    v = p = jnp.zeros_like(b)
+    limit2 = jnp.maximum(tol * jnp.sqrt(vdot(b, b)), atol) ** 2
+
+    def cond(state):
+        x, r, *_rest, k = state
+        return (vdot(r, r) > limit2) & (k < maxiter)
+
+    def body(state):
+        x, r, p, v, rho, alpha, omega, k = state
+        rho_new = vdot(rhat, r)
+        ok = jnp.abs(rho_new) > tiny
+        beta = jnp.where(ok, (rho_new / jnp.where(ok, rho, 1.0))
+                         * (alpha / omega), 0.0)
+        p = jnp.where(ok, r + beta * (p - omega * v), p)
+        ph = prec(p)
+        v = jnp.where(ok, apply(ph), v)
+        denom = vdot(rhat, v)
+        ok &= jnp.abs(denom) > tiny
+        alpha = jnp.where(ok, rho_new / jnp.where(ok, denom, 1.0), alpha)
+        s = r - alpha * v
+        sh = prec(s)
+        t = apply(sh)
+        tt = vdot(t, t)
+        omega_new = jnp.where(tt > tiny, vdot(t, s) / jnp.maximum(tt, tiny),
+                              0.0)
+        x = jnp.where(ok, x + alpha * ph + omega_new * sh, x)
+        r = jnp.where(ok, s - omega_new * t, r)
+        omega = jnp.where(ok, jnp.where(jnp.abs(omega_new) > tiny,
+                                        omega_new, omega), omega)
+        return x, r, p, v, jnp.where(ok, rho_new, rho), alpha, omega, k + 1
+
+    x, r, *_rest, k = lax.while_loop(
+        cond, body, (x, r, p, v, rho, alpha, omega, jnp.int32(0)))
+    return x, {"iters": k, "resnorm": jnp.sqrt(vdot(r, r))}
