@@ -121,3 +121,30 @@ def test_train_model_efficiency_shape():
     # compute: efficiency stays high and degrades slowly with D
     assert e2.efficiency > 0.95 and e16.efficiency > 0.9
     assert e16.ici_bytes > e2.ici_bytes
+
+
+def test_model_collectives_match_lowered_dia(mesh8):
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    a = generators.random_sparse_matrix(1024, 1024, density=0.5, seed=3)
+    band = np.tril(np.triu(a, -3), 5)
+    dm = DiaMatrix.from_dense(band)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=3)
+    txt = _lowered_text(
+        lambda vals, xx: dia_spmm_sharded(
+            DiaMatrix(dm.offsets, vals, dm.shape, dm.nnz), xx, mesh8,
+            "halo"),
+        np.asarray(dm.vals), x)
+    hl = max(0, -min(dm.offsets))
+    hr = max(0, max(dm.offsets))
+    e = comm_model("halo", m=1024, n=1024, n_devices=8,
+                   format_bytes=dm.device_bytes(), halo=hl + hr)
+    for kind, op in _OPS.items():
+        if kind in e.collectives:
+            assert op in txt
+        else:
+            assert op not in txt
+    # halo ICI bytes are D- and slab-independent, tiny vs the slab
+    assert e.ici_bytes == (hl + hr) * 4
+    assert e.efficiency > 0.99

@@ -61,11 +61,14 @@ class CommEstimate:
 
 def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
                n_devices: int = 8, format_bytes: int | None = None,
-               hbm_gbps: float = HBM_GBPS,
+               halo: int = 0, hbm_gbps: float = HBM_GBPS,
                ici_gbps: float = ICI_RING_GBPS) -> CommEstimate:
     """Weak-scaling estimate: every chip holds an (m, n) fp32 slab (or
     ``format_bytes`` of a packed format) and the global problem grows with
-    ``n_devices``."""
+    ``n_devices``. ``halo`` (elements, hl + hr) sizes the ``halo``
+    partition's edge exchange (DIA stencil: ``sum of max|offset| both
+    ways``), the only partition whose ICI bytes are independent of BOTH
+    the slab size and D."""
     slab = format_bytes if format_bytes is not None else m * n * 4
     compute = slab / (hbm_gbps * 1e9)
     d = n_devices
@@ -85,6 +88,13 @@ def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
         ici = int((d - 1) * chunk)         # the last band skips its send
         call = (d - 1) * step + compute / d
         coll = ("collective-permute",)
+    elif partition == "halo":
+        # DIA stencil: two ppermutes move only the band edges, then the
+        # k shifted FMAs are purely local. Comm ∝ bandwidth, not m or D.
+        ici = int(batch * halo * 4)
+        comm = ici / (ici_gbps * 1e9)
+        call = compute + comm              # halos precede the local FMAs
+        coll = ("collective-permute",) if halo else ()
     else:
         raise ValueError(f"unknown partition {partition!r}")
     comm_s = ici / (ici_gbps * 1e9)
@@ -130,6 +140,10 @@ def report(m: int = 4096, n: int = 4096, batch: int = 1,
             e = comm_model(p, m=m, n=n, batch=batch, n_devices=d,
                            format_bytes=format_bytes)
             lines.append(f"D={d:3d} {e}")
+        # DIA stencil halo at a representative band (max|offset| 512/side)
+        eh = comm_model("halo", m=m, n=n, batch=batch, n_devices=d,
+                        format_bytes=format_bytes, halo=1024)
+        lines.append(f"D={d:3d} {eh}")
         t = train_model(m=m, n=n, batch=batch, n_devices=d,
                         format_bytes=format_bytes)
         lines.append(f"D={d:3d} {t}")
