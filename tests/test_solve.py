@@ -150,3 +150,25 @@ def test_bicgstab_maxiter(spd_system):
     s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
     _, info = bicgstab(s, jnp.asarray(b), tol=0.0, maxiter=5)
     assert int(info["iters"]) == 5
+
+
+def test_chebyshev_preconditioned_cg(spd_system):
+    """Chebyshev m_inv divides CG's iteration count (the dot-allreduce
+    count at pod scale); power iteration supplies the spectrum bound."""
+    from tpusparse.solve import chebyshev_preconditioner, estimate_lmax
+
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    lmax = estimate_lmax(s)
+    # Laplacian lmax is 8(1 - O(h^2)); the 1.1 safety must contain it
+    assert 7.0 <= float(lmax) <= 9.5
+    _, info_plain = cg(s, jnp.asarray(b), tol=1e-6)
+    prec = chebyshev_preconditioner(s, lmax, degree=8)
+    z, info = cg(s, jnp.asarray(b), tol=1e-6, m_inv=prec)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert int(info["iters"]) * 2 < int(info_plain["iters"])
+    # jit end-to-end (preconditioner is jit-compatible: static degree)
+    z2, _ = jax.jit(lambda f, bb: cg(f, bb, tol=1e-6,
+                                     m_inv=chebyshev_preconditioner(
+                                         f, 9.0, degree=8)))(s, jnp.asarray(b))
+    np.testing.assert_allclose(np.asarray(z2), z_true, atol=5e-3)
