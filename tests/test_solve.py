@@ -152,6 +152,55 @@ def test_bicgstab_maxiter(spd_system):
     assert int(info["iters"]) == 5
 
 
+def test_gmres_nonsymmetric_dia():
+    """GMRES(60) on the convection-diffusion system. restart=30 stagnates
+    here for scipy too (fp64 included) — restart length, not precision,
+    gates convergence on convection-dominated operators."""
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.solve import gmres
+
+    s_mat = _convection_diffusion(16)
+    fmt = DiaMatrix.from_dense(np.ascontiguousarray(s_mat.T))
+    rng = np.random.default_rng(83)
+    z_true = rng.normal(size=256).astype(np.float32)
+    b = jnp.asarray((s_mat.astype(np.float64) @ z_true).astype(np.float32))
+    z, info = gmres(fmt, b, tol=1e-6, restart=60, maxiter=600)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    assert int(info["iters"]) < 600
+    # jit-compatibility: whole solve traces into one while_loop
+    z2, _ = jax.jit(lambda f, bb: gmres(f, bb, tol=1e-6, restart=60,
+                                        maxiter=600))(fmt, b)
+    np.testing.assert_allclose(np.asarray(z2), z_true, atol=5e-3)
+
+
+def test_gmres_right_preconditioned(spd_system):
+    """Right preconditioning reduces restart cycles and keeps the TRUE
+    residual in info (the whole point of right vs left)."""
+    from tpusparse.solve import gmres
+
+    a, z_true, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    prec = jacobi_preconditioner(np.diag(a) * 0.25 + 3.0)  # mild smoother
+    z, info = gmres(s, jnp.asarray(b), tol=1e-6, restart=20, maxiter=400,
+                    m_inv=prec)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    r = np.asarray(b) - a @ np.asarray(z)
+    # info resnorm is the true residual (right preconditioning contract)
+    np.testing.assert_allclose(float(info["resnorm"]), np.linalg.norm(r),
+                               rtol=0.3, atol=1e-4)
+
+
+def test_gmres_maxiter_and_validation(spd_system):
+    from tpusparse.solve import gmres
+
+    a, _z, b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    _, info = gmres(s, jnp.asarray(b), tol=0.0, restart=10, maxiter=20)
+    assert int(info["iters"]) == 20  # two whole cycles
+    with pytest.raises(ValueError, match="1-D"):
+        gmres(s, jnp.zeros((2, 256)))
+
+
 def test_chebyshev_preconditioned_cg(spd_system):
     """Chebyshev m_inv divides CG's iteration count (the dot-allreduce
     count at pod scale); power iteration supplies the spectrum bound."""

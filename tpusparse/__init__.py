@@ -22,7 +22,7 @@ Layers (SURVEY.md §1 "TPU mapping"):
   N:M structured, block) shaped by what the TPU kernels reward.
 - ``tpusparse.nn``        — Flax layer (``SparseLinear``) over the trainable
   twin-layout path.
-- ``tpusparse.solve``     — jittable iterative solvers (CG, BiCGStab) over any packed
+- ``tpusparse.solve``     — jittable iterative solvers (CG, BiCGStab, GMRES) over any packed
   format.
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
   harness, replacing SparseSgemvTester (tester.cpp).

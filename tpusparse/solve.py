@@ -239,3 +239,89 @@ def chebyshev_preconditioner(a: Any, lmax, lmin=None,
         return z
 
     return m_inv
+
+
+def gmres(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
+          tol: float = 1e-5, atol: float = 0.0, restart: int = 30,
+          maxiter: int | None = None,
+          m_inv: Callable[[jax.Array], jax.Array] | None = None):
+    """Restarted GMRES(``restart``) for ``S z = b``, ``S`` nonsymmetric —
+    the minimal-residual workhorse when BiCGStab's erratic convergence is
+    unacceptable. One SpMV per inner step plus two (restart+1, n) matmuls
+    for the orthogonalization.
+
+    Same operator convention as ``bicgstab`` (pack ``S.T``). ``m_inv`` is
+    applied on the RIGHT (``S M⁻¹ u = b``, ``z = M⁻¹ u``) so the residual
+    test sees the TRUE residual. Orthogonalization is CGS2 (two classical
+    Gram–Schmidt passes): unlike sequential MGS its projections are two
+    dense matmuls over the whole basis — MXU/VPU-friendly and one
+    all-reduce per pass when sharded — with MGS-grade stability.
+
+    Fully jittable: the Arnoldi cycle is a fixed-shape ``fori_loop`` over
+    a (restart+1, n) basis, the restart cycle a ``while_loop``, and the
+    small (restart+1, restart) least-squares solve uses
+    ``jnp.linalg.lstsq`` (rank-deficient-safe, so a lucky breakdown mid-
+    cycle — zero basis tail — is harmless). ``maxiter`` counts INNER
+    steps (like ``cg``); cycles are whole, so up to ``restart - 1`` extra
+    steps run past it. ``info['iters']`` is the inner-step count.
+    """
+    apply = _as_apply(a)
+    b = jnp.asarray(b)
+    if b.ndim != 1:
+        raise ValueError(f"gmres solves one system; b must be 1-D, got "
+                         f"shape {b.shape}")
+    n = b.shape[-1]
+    maxiter = n if maxiter is None else maxiter
+    max_outer = -(-maxiter // restart)
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    prec = (lambda v: v) if m_inv is None else m_inv
+    tiny = jnp.float32(1e-30)
+
+    def vdot(u, v):
+        return jnp.sum((u * v).astype(jnp.float32))
+
+    limit = jnp.maximum(tol * jnp.sqrt(vdot(b, b)), atol)
+    e1 = jnp.zeros(restart + 1, jnp.float32).at[0].set(1.0)
+
+    def cycle(x):
+        r = b - apply(x)
+        beta = jnp.sqrt(vdot(r, r))
+        v_basis = jnp.zeros((restart + 1, n), jnp.float32)
+        v_basis = v_basis.at[0].set(r / jnp.maximum(beta, tiny))
+        h = jnp.zeros((restart + 1, restart), jnp.float32)
+
+        def arnoldi(j, carry):
+            v_basis, h = carry
+            w = apply(prec(v_basis[j]))
+            # CGS2: rows past j are zero, so the full-basis projections
+            # are self-masking
+            c1 = v_basis @ w
+            w = w - c1 @ v_basis
+            c2 = v_basis @ w
+            w = w - c2 @ v_basis
+            hj = jnp.sqrt(vdot(w, w))
+            v_basis = v_basis.at[j + 1].set(
+                jnp.where(hj > tiny, w / jnp.maximum(hj, tiny), 0.0))
+            h = h.at[:, j].set(c1 + c2)
+            h = h.at[j + 1, j].set(hj)
+            return v_basis, h
+
+        v_basis, h = lax.fori_loop(0, restart, arnoldi, (v_basis, h))
+        y, *_ = jnp.linalg.lstsq(h, beta * e1)
+        return x + prec(y @ v_basis[:restart])
+
+    r0 = b - apply(x)
+
+    def cond(state):
+        _x, res, k = state
+        return (res > limit) & (k < max_outer)
+
+    def body(state):
+        x, _res, k = state
+        x = cycle(x)
+        r = b - apply(x)
+        return x, jnp.sqrt(vdot(r, r)), k + 1
+
+    x, res, k = lax.while_loop(
+        cond, body, (x, jnp.sqrt(vdot(r0, r0)), jnp.int32(0)))
+    return x, {"iters": k * restart, "resnorm": res}
