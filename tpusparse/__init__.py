@@ -22,6 +22,7 @@ Layers (SURVEY.md §1 "TPU mapping"):
   N:M structured, block) shaped by what the TPU kernels reward.
 - ``tpusparse.nn``        — Flax layer (``SparseLinear``) over the trainable
   twin-layout path.
+- ``tpusparse.reorder``   — RCM bandwidth reduction (scrambled bands -> DIA routing)
 - ``tpusparse.solve``     — jittable iterative solvers (CG, BiCGStab, GMRES) over any packed
   format.
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
