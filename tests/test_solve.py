@@ -221,3 +221,62 @@ def test_chebyshev_preconditioned_cg(spd_system):
                                      m_inv=chebyshev_preconditioner(
                                          f, 9.0, degree=8)))(s, jnp.asarray(b))
     np.testing.assert_allclose(np.asarray(z2), z_true, atol=5e-3)
+
+
+def test_cg_multi_matches_single(spd_system):
+    """4 RHS at once: one SpMM per iteration; every column must match the
+    single-RHS solve within the fp32 tolerance contract."""
+    from tpusparse.solve import cg_multi
+
+    a, _z, _b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    rng = np.random.default_rng(84)
+    z_true = rng.normal(size=(4, 256)).astype(np.float32)
+    b = jnp.asarray((z_true.astype(np.float64) @ a.astype(np.float64).T)
+                    .astype(np.float32))
+    z, info = cg_multi(s, b, tol=1e-6)
+    assert info["resnorm"].shape == (4,)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    for i in range(4):
+        zi, _ = cg(s, b[i], tol=1e-6)
+        np.testing.assert_allclose(np.asarray(z)[i], np.asarray(zi),
+                                   atol=1e-3)
+
+
+def test_cg_multi_mixed_convergence_freezes(spd_system):
+    """Columns with wildly different scales: the easy column must stay
+    converged (frozen alpha) while the hard ones keep iterating."""
+    from tpusparse.solve import cg_multi
+
+    a, _z, _b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    rng = np.random.default_rng(85)
+    z_true = np.stack([
+        1e-3 * np.eye(256, dtype=np.float32)[0],        # nearly-trivial RHS
+        rng.normal(size=256).astype(np.float32),
+        1e3 * rng.normal(size=256).astype(np.float32),
+    ])
+    b = jnp.asarray((z_true.astype(np.float64) @ a.astype(np.float64).T)
+                    .astype(np.float32))
+    z, info = cg_multi(s, b, tol=1e-6, maxiter=400)
+    rel = (np.abs(np.asarray(z) - z_true).max(axis=1)
+           / np.maximum(np.abs(z_true).max(axis=1), 1e-9))
+    assert (rel < 5e-3).all()
+    # per-column residual below the per-column limit
+    bn = np.linalg.norm(np.asarray(b), axis=1)
+    assert (np.asarray(info["resnorm"]) <= 1e-6 * bn * 1.05).all()
+
+
+def test_cg_multi_jit_and_validation(spd_system):
+    from tpusparse.solve import cg_multi
+
+    a, _z, _b = spd_system
+    s = SellMatrix.from_csr(CsrMatrix.from_dense(a))
+    rng = np.random.default_rng(86)
+    z_true = rng.normal(size=(2, 256)).astype(np.float32)
+    b = jnp.asarray((z_true.astype(np.float64) @ a.astype(np.float64).T)
+                    .astype(np.float32))
+    z, _ = jax.jit(lambda f, bb: cg_multi(f, bb, tol=1e-6))(s, b)
+    np.testing.assert_allclose(np.asarray(z), z_true, atol=5e-3)
+    with pytest.raises(ValueError, match="nrhs"):
+        cg_multi(s, jnp.zeros(256))

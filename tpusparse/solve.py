@@ -325,3 +325,68 @@ def gmres(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
     x, res, k = lax.while_loop(
         cond, body, (x, jnp.sqrt(vdot(r0, r0)), jnp.int32(0)))
     return x, {"iters": k * restart, "resnorm": res}
+
+
+def cg_multi(a: Any, b: jax.Array, x0: jax.Array | None = None, *,
+             tol: float = 1e-5, atol: float = 0.0, maxiter: int | None = None,
+             m_inv: Callable[[jax.Array], jax.Array] | None = None):
+    """Batched CG: ``S Z[i] = B[i]`` for ``nrhs`` right-hand sides at once,
+    ``S`` SPD. ``b`` is ``(nrhs, n)`` (the library's SpMM batch-major
+    convention); every iteration runs ONE SpMM instead of ``nrhs`` SpMVs,
+    so the matrix bytes — the whole cost of a memory-bound solve — are
+    amortized across the batch, and ``auto_format(expect_batch=nrhs)``
+    routing (TCSR/ASP over gather-floor SELL, BENCH.md SpMM tables)
+    applies to the solver unchanged.
+
+    Each column carries its own alpha/beta/residual; converged columns
+    freeze through ``jnp.where`` masks (their alpha forces to 0) while the
+    rest keep iterating — the loop exits when ALL are below their limits
+    (per-column ``max(tol * ||b_i||, atol)``) or at ``maxiter``.
+    ``info["resnorm"]`` is per-column ``(nrhs,)``; ``iters`` is the shared
+    iteration count. Fully jittable; ``m_inv`` must map ``(nrhs, n) ->
+    (nrhs, n)`` (elementwise preconditioners like ``jacobi_preconditioner``
+    broadcast as-is).
+    """
+    apply = a if callable(a) and not hasattr(a, "spmm") else a.spmm
+    b = jnp.asarray(b)
+    if b.ndim != 2:
+        raise ValueError(f"cg_multi wants b of shape (nrhs, n); got "
+                         f"{b.shape} (for one system use cg)")
+    n = b.shape[-1]
+    maxiter = n if maxiter is None else maxiter
+    x = jnp.zeros_like(b) if x0 is None else jnp.asarray(x0)
+    prec = (lambda v: v) if m_inv is None else m_inv
+    tiny = jnp.float32(1e-30)
+
+    def rowdot(u, v):                      # (nrhs, 1) fp32 reductions
+        return jnp.sum((u * v).astype(jnp.float32), axis=1, keepdims=True)
+
+    r = b - apply(x)
+    z = prec(r)
+    p = z
+    rz = rowdot(r, z)
+    limit2 = jnp.maximum(tol * jnp.sqrt(rowdot(b, b)), atol) ** 2
+
+    def cond(state):
+        _x, r, _p, _z, _rz, k = state
+        return jnp.any(rowdot(r, r) > limit2) & (k < maxiter)
+
+    def body(state):
+        x, r, p, z, rz, k = state
+        active = rowdot(r, r) > limit2
+        ap = apply(p)
+        pap = rowdot(p, ap)
+        alpha = jnp.where(active & (jnp.abs(pap) > tiny),
+                          rz / jnp.where(jnp.abs(pap) > tiny, pap, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = prec(r)
+        rz_new = rowdot(r, z)
+        beta = jnp.where(active & (jnp.abs(rz) > tiny),
+                         rz_new / jnp.where(jnp.abs(rz) > tiny, rz, 1.0), 0.0)
+        p = jnp.where(active, z + beta * p, p)
+        return x, r, p, z, jnp.where(active, rz_new, rz), k + 1
+
+    x, r, _p, _z, _rz, k = lax.while_loop(
+        cond, body, (x, r, p, z, rz, jnp.int32(0)))
+    return x, {"iters": k, "resnorm": jnp.sqrt(rowdot(r, r))[:, 0]}
