@@ -25,6 +25,8 @@ Layers (SURVEY.md §1 "TPU mapping"):
 - ``tpusparse.reorder``   — RCM bandwidth reduction (scrambled bands -> DIA routing)
 - ``tpusparse.solve``     — jittable iterative solvers (CG, BiCGStab, GMRES) over any packed
   format.
+- ``tpusparse.eig``       — jittable Lanczos eigensolver (extremal pairs,
+  spectrum bounds feeding the Chebyshev preconditioner).
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
   harness, replacing SparseSgemvTester (tester.cpp).
 - ``tpusparse.bench``     — timing, roofline accounting, reports, replacing

@@ -216,7 +216,9 @@ def chebyshev_preconditioner(a: Any, lmax, lmin=None,
     recurrences on cond >~1e3 systems stagnate (see ``bicgstab``) —
     the preconditioned system's condition is what the iteration sees.
     ``lmin`` defaults to ``lmax / 30`` (the multigrid smoothing-range
-    convention; exact bounds are not required, containment is).
+    convention; exact bounds are not required, containment is) — for
+    EXACT bounds use ``tpusparse.eig.spectrum_bounds`` (Lanczos, both
+    spectrum ends in one pass).
     """
     apply = _as_apply(a)
     lmax = jnp.asarray(lmax, jnp.float32)
