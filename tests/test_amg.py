@@ -1,0 +1,127 @@
+"""Smoothed-aggregation AMG (tpusparse/amg.py): hierarchy, symmetry,
+V-cycle convergence, CG preconditioning."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpusparse.amg import smoothed_aggregation
+from tpusparse.formats.csr import CsrMatrix
+from tpusparse.solve import cg
+
+
+def _laplacian_2d(side: int) -> np.ndarray:
+    n = side * side
+    a = np.zeros((n, n), dtype=np.float32)
+    idx = np.arange(n).reshape(side, side)
+    a[np.arange(n), np.arange(n)] = 4.0
+    for (di, dj) in ((0, 1), (1, 0)):
+        src = idx[: side - di, : side - dj].ravel()
+        dst = idx[di:, dj:].ravel()
+        a[src, dst] = -1.0
+        a[dst, src] = -1.0
+    return a
+
+
+@pytest.fixture(scope="module")
+def lap32():
+    a = _laplacian_2d(32)                      # 1024 unknowns
+    amg = smoothed_aggregation(a, coarse_size=100)
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=a.shape[0]).astype(np.float32)
+    return a, amg, b
+
+
+def test_hierarchy_shape(lap32):
+    a, amg, _ = lap32
+    sizes = [l.n for l in amg.levels]
+    assert sizes[0] == 1024 and len(sizes) >= 2
+    assert all(sizes[i] > sizes[i + 1] for i in range(len(sizes) - 1))
+    assert sizes[-1] <= 100
+    assert amg.operator_complexity < 3.0       # SA stays lean
+    assert "levels=" in repr(amg)
+
+
+def test_vcycle_contracts_error(lap32):
+    a, amg, b = lap32
+    # one V-cycle as a stationary iteration must shrink the residual hard
+    z = np.asarray(amg(jnp.asarray(b)))
+    r1 = b - a @ z
+    assert np.linalg.norm(r1) < 0.2 * np.linalg.norm(b)
+
+
+def test_vcycle_is_symmetric_linear(lap32):
+    _, amg, _ = lap32
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.normal(size=1024).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=1024).astype(np.float32))
+    mu, mv = np.asarray(amg(u)), np.asarray(amg(v))
+    # <Mu, v> == <u, Mv> (required for use as a CG preconditioner)
+    s1, s2 = float(np.dot(mu, np.asarray(v))), float(
+        np.dot(np.asarray(u), mv))
+    assert abs(s1 - s2) <= 1e-3 * max(abs(s1), abs(s2))
+    # linearity
+    muv = np.asarray(amg(u + 2.0 * v))
+    np.testing.assert_allclose(muv, mu + 2.0 * mv, atol=2e-3 * np.max(
+        np.abs(muv)))
+
+
+def test_amg_cg_beats_plain_cg(lap32):
+    a, amg, b = lap32
+    z, info = amg.solve(jnp.asarray(b), tol=1e-6)
+    _, plain = cg(amg.levels[0].apply_a, jnp.asarray(b), tol=1e-6)
+    assert int(info["iters"]) <= 12
+    assert int(info["iters"]) * 3 < int(plain["iters"])
+    np.testing.assert_allclose(a @ np.asarray(z), b, atol=1e-3)
+
+
+def test_amg_jits(lap32):
+    _, amg, b = lap32
+    f = jax.jit(lambda r: amg(r))
+    z1 = np.asarray(f(jnp.asarray(b)))
+    z2 = np.asarray(amg(jnp.asarray(b)))
+    np.testing.assert_allclose(z1, z2, atol=1e-5)
+
+
+def test_amg_from_csr_no_densify_level0():
+    a = _laplacian_2d(64)                      # 4096 > dense_cutoff
+    csr = CsrMatrix.from_dense(a)
+    amg = smoothed_aggregation(csr)
+    assert amg.levels[0].fmt != "dense"        # packed format on the fine level
+    rng = np.random.default_rng(7)
+    b = rng.normal(size=4096).astype(np.float32)
+    z, info = amg.solve(jnp.asarray(b), tol=1e-5)
+    assert int(info["iters"]) <= 15
+    np.testing.assert_allclose(a @ np.asarray(z), b, atol=1e-3)
+
+
+def test_amg_validation():
+    with pytest.raises(ValueError, match="square"):
+        smoothed_aggregation(np.ones((4, 8), np.float32))
+    bad = np.array([[2.0, 1.0], [0.0, 2.0]], np.float32)
+    with pytest.raises(ValueError, match="symmetric"):
+        smoothed_aggregation(bad)
+
+
+def test_amg_anisotropic_with_strength_threshold():
+    # anisotropic 2-D stencil: weak coupling in one direction; theta>0
+    # drops the weak links so aggregates follow the strong direction
+    side, eps = 24, 0.01
+    n = side * side
+    a = np.zeros((n, n), np.float64)
+    idx = np.arange(n).reshape(side, side)
+    a[np.arange(n), np.arange(n)] = 2.0 + 2.0 * eps
+    for (di, dj, w) in ((0, 1, 1.0), (1, 0, eps)):
+        src = idx[: side - di, : side - dj].ravel()
+        dst = idx[di:, dj:].ravel()
+        a[src, dst] -= w
+        a[dst, src] -= w
+    amg = smoothed_aggregation(a.astype(np.float32), theta=0.1,
+                               coarse_size=60)
+    rng = np.random.default_rng(9)
+    b = rng.normal(size=n).astype(np.float32)
+    z, info = amg.solve(jnp.asarray(b), tol=1e-5)
+    assert int(info["iters"]) <= 30
+    np.testing.assert_allclose(a.astype(np.float32) @ np.asarray(z), b,
+                               atol=2e-3)
