@@ -63,3 +63,14 @@ def test_cli_tune_smoke(capsys):
                  "--cpu", "--k1", "2", "--k2", "4", "--reps", "1"]) == 0
     out = capsys.readouterr().out
     assert "heuristic default" in out and "best" in out
+
+
+def test_cli_solve_smoke(capsys):
+    from tpusparse.cli import main
+
+    # tiny grid so the whole route->precondition->solve path stays cheap;
+    # jacobi (not amg/chebyshev) keeps compile time out of the suite budget
+    assert main(["solve", "--side", "16", "--precond", "jacobi",
+                 "--tol", "1e-4", "--cpu"]) == 0
+    out = capsys.readouterr().out
+    assert "cg+jacobi" in out and "OK" in out

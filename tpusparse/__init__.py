@@ -27,6 +27,8 @@ Layers (SURVEY.md §1 "TPU mapping"):
   format.
 - ``tpusparse.eig``       — jittable Lanczos eigensolver (extremal pairs,
   spectrum bounds feeding the Chebyshev preconditioner).
+- ``tpusparse.amg``       — smoothed-aggregation algebraic multigrid
+  (host-side setup, jittable symmetric V-cycle of packed-format SpMVs).
 - ``tpusparse.testing``   — seeded generators, dense oracle, tolerance
   harness, replacing SparseSgemvTester (tester.cpp).
 - ``tpusparse.bench``     — timing, roofline accounting, reports, replacing

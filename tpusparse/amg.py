@@ -12,11 +12,20 @@ TPU-shaped choices:
   like every converter in ``formats/``.
 - **The cycle is device-side and fully jittable**: each level's operator,
   restriction ``P`` and prolongation ``Pᵀ`` are packed formats
-  (``auto_format`` / ``SellMatrix.from_csr`` — no densify at any size),
+  (``auto_format`` / ``RsellMatrix.from_csr`` — no densify at any size),
   smoothing is the Chebyshev polynomial smoother (pure SpMVs — no
   Gauss-Seidel triangular sweeps, which are sequential and hostile to the
   VPU; see ``solve.chebyshev_preconditioner`` for the rationale), and the
   coarsest level is a precomputed dense inverse (one small MXU matmul).
+- **The hierarchy is a registered pytree**, so the preconditioner rides
+  through ``jax.jit`` as an ARGUMENT: its arrays are runtime parameters,
+  never trace-time constants. This matters twice over the axon tunnel —
+  closure-captured level matrices were serialized into the remote-compile
+  request (HTTP 413 on a 256k-unknown hierarchy), and eager
+  ``lax.while_loop`` around fresh closures retraced every ``solve`` call.
+  ``amg(r)`` / ``amg.solve(b)`` dispatch through module-level ``jax.jit``
+  entry points keyed on the pytree structure: one compile per hierarchy
+  shape, ~ms replays after.
 - **Symmetric by construction** (identical polynomial pre/post smoothers
   ``p(D⁻¹A)D⁻¹ = D^{-1/2} p(D^{-1/2}AD^{-1/2}) D^{-1/2}``, Galerkin coarse
   operators, exact coarse solve), so the V-cycle is a valid ``m_inv`` for
@@ -30,15 +39,15 @@ like ``solve``/``eig``.
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Any, Callable
+from functools import partial
+from typing import Any
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from tpusparse.formats.csr import CsrMatrix
-from tpusparse.solve import chebyshev_preconditioner
 
 
 def _aggregate(sp, theta: float) -> tuple[np.ndarray, int]:
@@ -104,33 +113,65 @@ def _lmax_dinv_a(sp, dinv: np.ndarray, iters: int = 20,
     return float(lam)
 
 
-@dataclasses.dataclass
+def _apply(op, v):
+    """``v -> v @ op`` for a dense device array or a packed format."""
+    if isinstance(op, jax.Array):
+        return v @ op
+    return op.spmv(v)
+
+
+@jax.tree_util.register_pytree_node_class
 class _Level:
-    apply_a: Callable          # v -> A v (packed format or dense closure)
-    smooth: Callable | None    # r -> z ~ A^-1 r (Chebyshev; None = coarsest)
-    restrict: Callable | None  # r_f -> r_c  (v @ P)
-    prolong: Callable | None   # e_c -> e_f  (v @ P.T)
-    n: int
-    nnz: int
-    fmt: str
+    """One hierarchy level. Pytree: arrays/formats are leaves (runtime
+    jit arguments), sizes and format names are static aux."""
+
+    def __init__(self, a, p, pt, dinv, lmax, n, nnz, fmt):
+        self.a, self.p, self.pt = a, p, pt
+        self.dinv, self.lmax = dinv, lmax
+        self.n, self.nnz, self.fmt = n, nnz, fmt
+
+    def tree_flatten(self):
+        return ((self.a, self.p, self.pt, self.dinv, self.lmax),
+                (self.n, self.nnz, self.fmt))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    @property
+    def apply_a(self):
+        """``v -> A v`` for this level's operator (dense or packed)."""
+        return partial(_apply, self.a)
 
 
+@jax.tree_util.register_pytree_node_class
 class SmoothedAggregationAMG:
     """One V-cycle per ``__call__`` — a symmetric positive definite
     approximation of ``A⁻¹``, ready to drop in as ``m_inv`` for
     ``solve.cg`` (or used standalone: ``solve(b)``).
 
-    Build with :func:`smoothed_aggregation`. Jittable: the level list is
-    static, so the recursion unrolls into a fixed chain of packed-format
-    SpMVs plus one coarse matmul.
+    Build with :func:`smoothed_aggregation`. The object is a pytree;
+    ``amg(r)``/``amg.solve(b)`` run through cached module-level ``jax.jit``
+    entry points, and the object can also be passed straight into user
+    ``jit``/``shard_map`` code like any packed format.
     """
 
-    def __init__(self, levels: list[_Level], coarse_inv: jnp.ndarray,
-                 theta: float, degree: int):
-        self.levels = levels
+    def __init__(self, levels: tuple, coarse_inv: jnp.ndarray,
+                 theta: float, degree: int, ratio: float):
+        self.levels = tuple(levels)
         self.coarse_inv = coarse_inv
         self.theta = theta
         self.degree = degree
+        self.ratio = ratio
+
+    def tree_flatten(self):
+        return ((self.levels, self.coarse_inv),
+                (self.theta, self.degree, self.ratio))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        levels, coarse_inv = children
+        return cls(levels, coarse_inv, *aux)
 
     # -- stats ---------------------------------------------------------
     @property
@@ -149,39 +190,93 @@ class SmoothedAggregationAMG:
                 f"degree={self.degree})")
 
     # -- the cycle -----------------------------------------------------
+    def _smooth(self, lev: _Level, r: jnp.ndarray) -> jnp.ndarray:
+        """Chebyshev smoother z ~ A⁻¹ r targeting [lmax/ratio, 1.05 lmax]
+        of D⁻¹A (same recurrence as solve.chebyshev_preconditioner,
+        inlined so the coefficients come from pytree leaves)."""
+        lmax = 1.05 * lev.lmax
+        lmin = lev.lmax / self.ratio
+        theta = (lmax + lmin) / 2.0
+        delta = (lmax - lmin) / 2.0
+        sigma = theta / delta
+        v = lev.dinv * r
+        rho = 1.0 / sigma
+        d = v / theta
+        z = d
+        res = v - lev.dinv * _apply(lev.a, z)
+        for _ in range(self.degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * res
+            z = z + d
+            res = res - lev.dinv * _apply(lev.a, d)
+            rho = rho_new
+        return z
+
     def _cycle(self, li: int, r: jnp.ndarray) -> jnp.ndarray:
         lev = self.levels[li]
-        if lev.smooth is None:                       # coarsest: exact solve
+        if li == len(self.levels) - 1:               # coarsest: exact solve
             return r @ self.coarse_inv
-        x = lev.smooth(r)                            # pre-smooth (zero guess)
-        rc = lev.restrict(r - lev.apply_a(x))
-        x = x + lev.prolong(self._cycle(li + 1, rc))
-        return x + lev.smooth(r - lev.apply_a(x))    # post-smooth
+        x = self._smooth(lev, r)                     # pre-smooth (zero guess)
+        rc = _apply(lev.p, r - _apply(lev.a, x))     # restrict residual
+        x = x + _apply(lev.pt, self._cycle(li + 1, rc))
+        return x + self._smooth(lev, r - _apply(lev.a, x))   # post-smooth
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
-        return self._cycle(0, jnp.asarray(r))
+        return _amg_apply(self, jnp.asarray(r))
 
     def solve(self, b, x0=None, *, tol: float = 1e-5, atol: float = 0.0,
               maxiter: int | None = None):
-        """AMG-preconditioned CG on the finest operator."""
-        from tpusparse.solve import cg
+        """AMG-preconditioned CG on the finest operator (one jitted
+        program per hierarchy structure — replays are pure device time)."""
+        return _amg_solve(self, jnp.asarray(b),
+                          None if x0 is None else jnp.asarray(x0),
+                          tol, atol, maxiter)
 
-        return cg(self.levels[0].apply_a, jnp.asarray(b), x0, tol=tol,
-                  atol=atol, maxiter=maxiter, m_inv=self)
+
+@jax.jit
+def _amg_apply(amg: SmoothedAggregationAMG, r: jnp.ndarray) -> jnp.ndarray:
+    return amg._cycle(0, r)
 
 
-def _pack_op(sp, dense_cutoff: int):
-    """Pack a host scipy matrix as a device op ``v -> v @ sp`` + metadata."""
+@partial(jax.jit, static_argnames=("tol", "atol", "maxiter"))
+def _amg_solve(amg, b, x0, tol, atol, maxiter):
+    from tpusparse.solve import cg
+
+    return cg(amg.levels[0].apply_a, b, x0, tol=tol, atol=atol,
+              maxiter=maxiter, m_inv=lambda r: amg._cycle(0, r))
+
+
+def _pack(sp, dense_cutoff: int, square: bool):
+    """Pack a host scipy matrix as ``v -> v @ sp``: dense device array
+    below the cutoff, else a packed format (auto-routed for the square
+    level operators; RSELL for the tall/thin prolongators, whose nnz live
+    in a thin diagonal band of tiles — per-tile ragged widths skip the
+    empty ones, where one global SELL width would stream the whole
+    ``(m/128) x (n/128)`` tile grid at max width)."""
     m, n = sp.shape
     if max(m, n) <= dense_cutoff:
-        d = jnp.asarray(sp.toarray().astype(np.float32))
-        return (lambda v, _d=d: v @ _d), "dense"
+        return jnp.asarray(sp.toarray().astype(np.float32)), "dense"
     from tpusparse.formats.auto import auto_format
-    from tpusparse.formats.sell import SellMatrix
+    from tpusparse.formats.rsell import RsellMatrix
+    from tpusparse.formats.tcsr import TcsrMatrix
+    from tpusparse.utils import round_up
 
     csr = CsrMatrix.from_scipy(sp.astype(np.float32))
-    fmt = auto_format(csr) if m == n else SellMatrix.from_csr(csr)
-    return fmt.spmv, type(fmt).__name__
+    if square:
+        fmt = auto_format(csr)
+    elif (round_up(m, 128) + round_up(n, 128) * 8) * 4 <= 8 << 20:
+        # prolongators are tall/thin with nnz in a thin band of tiles:
+        # RSELL's per-tile ragged widths skip the empty tiles (a global
+        # SELL width would stream the whole tile grid at max width)...
+        fmt = RsellMatrix.from_csr(csr)
+    else:
+        # ...but RSELL keeps X and Y whole in VMEM (see rsell_spmv) —
+        # past that budget, TCSR's block-skip tiles carry the band
+        fmt = TcsrMatrix.from_csr(csr)
+    # device-resident leaves: the hierarchy is passed INTO jit as an
+    # argument each call, and host leaves would re-upload over the
+    # ~MB/s tunnel every time
+    return jax.device_put(fmt), type(fmt).__name__
 
 
 def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
@@ -205,6 +300,9 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     """
     from scipy import sparse as ssp
 
+    from tpusparse.utils import enable_compile_cache
+
+    enable_compile_cache()     # hierarchies compile many kernels; cache them
     if isinstance(a, CsrMatrix):
         sp = a.to_scipy().tocsr().astype(np.float64)
     elif ssp.issparse(a):
@@ -237,23 +335,19 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         da = ssp.diags(dinv_h * (omega / max(lmax, 1e-30))) @ sp
         p = (p0 - da @ p0).tocsr()
 
-        apply_a, fmt_name = _pack_op(sp, dense_cutoff)
-        cheb = chebyshev_preconditioner(
-            lambda v, _f=apply_a, _di=jnp.asarray(
-                dinv_h.astype(np.float32)): _di * _f(v),
-            1.05 * lmax, lmax / ratio, degree=degree)
-        dinv_d = jnp.asarray(dinv_h.astype(np.float32))
-        smooth = (lambda r, _c=cheb, _di=dinv_d: _c(_di * r))
-        restrict, _ = _pack_op(p, dense_cutoff)
-        prolong, _ = _pack_op(p.T.tocsr(), dense_cutoff)
-        levels.append(_Level(apply_a, smooth, restrict, prolong,
-                             n, sp.nnz, fmt_name))
+        a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
+        p_op, _ = _pack(p, dense_cutoff, square=False)
+        pt_op, _ = _pack(p.T.tocsr(), dense_cutoff, square=False)
+        levels.append(_Level(
+            a_op, p_op, pt_op, jnp.asarray(dinv_h.astype(np.float32)),
+            jnp.float32(lmax), n, sp.nnz, fmt_name))
         sp = (p.T @ sp @ p).tocsr()
 
-    apply_a, fmt_name = _pack_op(sp, dense_cutoff)
-    levels.append(_Level(apply_a, None, None, None, sp.shape[0], sp.nnz,
+    a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
+    levels.append(_Level(a_op, None, None, None, None, sp.shape[0], sp.nnz,
                          fmt_name))
     # coarse inverse, float64 on host then cast; applied as v @ inv(A)
     # (symmetric, so the row-vector convention needs no transpose)
     coarse_inv = jnp.asarray(np.linalg.inv(sp.toarray()).astype(np.float32))
-    return SmoothedAggregationAMG(levels, coarse_inv, theta, degree)
+    return SmoothedAggregationAMG(tuple(levels), coarse_inv, theta, degree,
+                                  ratio)

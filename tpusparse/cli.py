@@ -194,6 +194,109 @@ def cmd_mtx(args) -> int:
     return 0 if err <= 1e-3 else 1
 
 
+def cmd_solve(args) -> int:
+    """End-to-end iterative solve: ingest (or generate), route, precondition,
+    solve, verify against the O(nnz) float64 residual.
+
+    Matrix: ``--file x.mtx`` or a generated 2-D Laplacian (``--side``).
+    Solvers: cg (SPD), bicgstab, gmres. Preconditioners: none, jacobi,
+    chebyshev (Lanczos spectrum bounds), amg (smoothed aggregation).
+    """
+    import time as _time
+
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpusparse.formats.auto import auto_format, matrix_stats_csr
+    from tpusparse.formats.csr import CsrMatrix
+    from tpusparse import solve as _solve
+
+    if args.file:
+        csr = CsrMatrix.from_mtx(args.file)
+        if csr.values.dtype != np.float32:
+            csr.values = csr.values.astype(np.float32)
+        label = args.file
+    else:
+        from scipy import sparse as ssp
+
+        side = args.side
+        t = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(side, side))
+        lap = (ssp.kron(ssp.eye(side), t) +
+               ssp.kron(t, ssp.eye(side))).tocsr()
+        csr = CsrMatrix.from_scipy(lap.astype(np.float32))
+        label = f"laplacian2d({side}x{side})"
+    m, n = csr.shape
+    if m != n:
+        print(f"solve needs a square system, got {m}x{n}")
+        return 2
+    s = matrix_stats_csr(csr)
+    fmt = auto_format(csr, stats=s)
+    print(f"{label}: n={n}, nnz={s['nnz']} -> {type(fmt).__name__}")
+
+    rng = np.random.default_rng(args.seed)
+    b = rng.normal(size=n).astype(np.float32)
+
+    # preconditioner STATE rides into the jitted program as an argument
+    # (a closure-captured operator would be serialized into the remote
+    # compile request — HTTP 413 at scale; see amg.py module docs)
+    pstate = None
+    if args.precond == "jacobi":
+        rows = np.repeat(np.arange(n), csr.row_nnz)
+        diag = np.zeros(n, np.float32)
+        ond = rows == csr.col_idx
+        diag[rows[ond]] = csr.values[ond]
+        pstate = jnp.asarray(1.0 / (diag + 1e-12))
+    elif args.precond == "chebyshev":
+        from tpusparse.eig import spectrum_bounds
+
+        lmin, lmax = spectrum_bounds(fmt)
+        print(f"spectrum bounds [{float(lmin):.3g}, {float(lmax):.3g}]")
+        pstate = (lmin, lmax)
+    elif args.precond == "amg":
+        from tpusparse.amg import smoothed_aggregation
+
+        t0 = _time.perf_counter()
+        pstate = smoothed_aggregation(csr, degree=args.degree)
+        print(f"amg setup {_time.perf_counter() - t0:.2f}s: {pstate!r}")
+
+    solver = {"cg": _solve.cg, "bicgstab": _solve.bicgstab,
+              "gmres": _solve.gmres}[args.solver]
+
+    @jax.jit
+    def jsolve(fmt_, b_, ps):
+        if args.precond == "jacobi":
+            m_inv = lambda v: v * ps                        # noqa: E731
+        elif args.precond == "chebyshev":
+            m_inv = _solve.chebyshev_preconditioner(
+                fmt_, ps[1], lmin=ps[0], degree=args.degree)
+        elif args.precond == "amg":
+            m_inv = lambda r: ps._cycle(0, r)               # noqa: E731
+        else:
+            m_inv = None
+        return solver(fmt_, b_, tol=args.tol, m_inv=m_inv)
+
+    def run():
+        t0 = _time.perf_counter()
+        z, info = jsolve(fmt, jnp.asarray(b), pstate)
+        res = float(info["resnorm"])          # fetch syncs the tunnel
+        return z, int(info["iters"]), res, _time.perf_counter() - t0
+
+    _z, _, _, t_cold = run()                  # compile + run
+    z, iters, res, t_warm = run()
+    rr = np.repeat(np.arange(n), csr.row_nnz)
+    az = np.zeros(n, np.float64)
+    np.add.at(az, rr, csr.values.astype(np.float64) *
+              np.asarray(z, np.float64)[csr.col_idx])
+    err = float(np.max(np.abs(az - b)))
+    ok = res <= args.tol * float(np.linalg.norm(b)) * 1.01
+    print(f"{args.solver}+{args.precond}: {iters} iters, resnorm "
+          f"{res:.3e}, {t_warm*1e3:.1f} ms warm ({t_cold:.1f} s cold), "
+          f"max|Az-b| {err:.3e} [{'OK' if ok else 'NOT CONVERGED'}]")
+    return 0 if ok else 1
+
+
 def cmd_tune(args) -> int:
     """On-device SELL step-geometry sweep for a workload shape.
 
@@ -253,8 +356,26 @@ def main(argv=None) -> int:
     for name, fn in [("check", cmd_check), ("bench", cmd_bench),
                      ("headline", cmd_headline), ("profile", cmd_profile),
                      ("scaling", cmd_scaling), ("report", cmd_report),
-                     ("mtx", cmd_mtx), ("tune", cmd_tune)]:
+                     ("mtx", cmd_mtx), ("tune", cmd_tune),
+                     ("solve", cmd_solve)]:
         p = sub.add_parser(name)
+        if name == "solve":
+            p.add_argument("--file", default=None,
+                           help="MatrixMarket .mtx path (default: generated "
+                                "2-D Laplacian)")
+            p.add_argument("--side", type=int, default=128,
+                           help="grid side for the generated Laplacian")
+            p.add_argument("--solver", default="cg",
+                           choices=["cg", "bicgstab", "gmres"])
+            p.add_argument("--precond", default="none",
+                           choices=["none", "jacobi", "chebyshev", "amg"])
+            p.add_argument("--degree", type=int, default=2,
+                           help="chebyshev/amg-smoother polynomial degree")
+            p.add_argument("--tol", type=float, default=1e-5)
+            p.add_argument("--seed", type=int, default=0)
+            p.add_argument("--cpu", action="store_true")
+            p.set_defaults(fn=fn)
+            continue
         if name == "mtx":
             p.add_argument("file", help="MatrixMarket .mtx path")
             p.add_argument("--batch", type=int, default=1)

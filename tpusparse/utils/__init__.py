@@ -3,5 +3,6 @@ from tpusparse.utils.platform import (  # noqa: F401
     default_interpret,
     cdiv,
     round_up,
+    enable_compile_cache,
 )
 from tpusparse.utils.timing import time_fn, TimingResult  # noqa: F401

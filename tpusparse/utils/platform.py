@@ -30,6 +30,23 @@ def on_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
+@functools.cache
+def enable_compile_cache() -> str:
+    """Idempotently point JAX's persistent compilation cache at the shared
+    tpusparse dir (same one the CLI and test conftest use). Heavy
+    multi-kernel programs — an AMG hierarchy compiles one Mosaic kernel
+    per level operator and per prolongator — cost minutes cold over the
+    axon tunnel (measured 510 s for a 5-level 262k-unknown solve) and
+    ~nothing warm. Returns the cache dir."""
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.gettempdir(), "tpusparse-xla-cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    return path
+
+
 def default_interpret() -> bool:
     """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests).
 
