@@ -89,3 +89,27 @@ def test_rsell_pack_native_matches_numpy():
         np.testing.assert_array_equal(nat["ct"], ref["ct"])
         np.testing.assert_array_equal(nat["vals"], ref["vals"])
         np.testing.assert_array_equal(nat["idx"], ref["idx"])
+
+
+def test_amg_aggregate_native_matches_numpy():
+    from scipy import sparse as ssp
+
+    from tpusparse import native
+    from tpusparse.amg import _aggregate
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    # symmetric random + an anisotropic stencil (exercises the theta mask)
+    for theta in (0.0, 0.1):
+        for seed in (1, 2):
+            a = generators.random_sparse_matrix(300, 300, density=0.03,
+                                                seed=seed)
+            a = a + a.T + 10.0 * np.eye(300, dtype=np.float32)
+            sp = ssp.csr_matrix(a.astype(np.float64))
+            agg_n, cnt_n = _aggregate(sp, theta, use_native=False)
+            agg_c, cnt_c = _aggregate(sp, theta, use_native=True)
+            assert cnt_n == cnt_c
+            np.testing.assert_array_equal(agg_n, agg_c)
