@@ -221,14 +221,21 @@ def test_bsell_scan_path(monkeypatch):
 
 
 def test_rsell_vmem_guard(monkeypatch):
+    # past the comfort zone but under the cap: runs with a raised
+    # per-kernel vmem limit; past the hard cap: refuses
     from tpusparse.formats.rsell import RsellMatrix
     from tpusparse.kernels import rsell_spmv
 
+    a = generators.random_sparse_matrix(256, 256, density=0.2, seed=65)
+    x = generators.random_sparse_vector(256, density=0.5, seed=65)
+    f = RsellMatrix.from_dense(a)
     monkeypatch.setattr(rsell_spmv, "_WIDE_VMEM_LIMIT", 0)
-    f = RsellMatrix.from_dense(
-        generators.random_sparse_matrix(256, 256, density=0.2, seed=65))
-    with pytest.raises(ValueError, match="VMEM"):
-        f.spmv(generators.random_sparse_vector(256, density=0.5, seed=65))
+    assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="rsell raised")
+    monkeypatch.setattr(rsell_spmv, "_WIDE_VMEM_CAP", 0)
+    a2 = generators.random_sparse_matrix(384, 384, density=0.2, seed=66)
+    with pytest.raises(ValueError, match="VMEM"):   # fresh shape: no jit cache
+        RsellMatrix.from_dense(a2).spmv(
+            generators.random_sparse_vector(384, density=0.5, seed=66))
 
 
 def test_sell_int8_storage(workload):

@@ -123,6 +123,17 @@ def _lmax_dinv_a(sp, dinv: np.ndarray, iters: int = 20,
     return float(lam)
 
 
+def _dbg(msg: str) -> None:
+    """Setup-stage timing prints, gated by TPUSPARSE_AMG_DEBUG=1 (the
+    heavy stages — Galerkin products, packing, tunnel upload — are
+    otherwise invisible for minutes on 1M-unknown hierarchies)."""
+    import os
+    import time
+
+    if os.environ.get("TPUSPARSE_AMG_DEBUG"):
+        print(f"[amg {time.strftime('%H:%M:%S')}] {msg}", flush=True)
+
+
 def _apply(op, v):
     """``v -> v @ op`` for a dense device array or a packed format."""
     if isinstance(op, jax.Array):
@@ -133,16 +144,30 @@ def _apply(op, v):
 @jax.tree_util.register_pytree_node_class
 class _Level:
     """One hierarchy level. Pytree: arrays/formats are leaves (runtime
-    jit arguments), sizes and format names are static aux."""
+    jit arguments), sizes and format names are static aux.
 
-    def __init__(self, a, p, pt, dinv, lmax, n, nnz, fmt):
+    ``kind``: how grid transfers run on device.
+    - ``"packed"``: ``p``/``pt`` are packed sparse carriers of the
+      smoothed prolongator (greedy Vanek aggregates — arbitrary graphs).
+    - ``"block"``: aggregates are CONSECUTIVE index blocks, so the
+      tentative ``P0`` is a reshape + weighted sum (``p`` holds only the
+      ``(nc, s)`` weight table; ``pt`` is None), and the SMOOTHED
+      transfers use the identity ``Pᵀr = P0ᵀ(r − (ω/λ)A d⁻¹r)`` /
+      ``Pe = (I − (ω/λ)d⁻¹A) P0e`` — one extra apply of the level
+      operator that is ALREADY packed, instead of a separate sparse
+      carrier whose thin-band tile structure is DMA-issue-bound
+      (measured 7.3 ms vs a 57 µs byte roofline for the 1M-unknown
+      Laplacian's P under TCSR, BENCH.md §Solver).
+    """
+
+    def __init__(self, a, p, pt, dinv, lmax, n, nnz, fmt, kind="packed"):
         self.a, self.p, self.pt = a, p, pt
         self.dinv, self.lmax = dinv, lmax
-        self.n, self.nnz, self.fmt = n, nnz, fmt
+        self.n, self.nnz, self.fmt, self.kind = n, nnz, fmt, kind
 
     def tree_flatten(self):
         return ((self.a, self.p, self.pt, self.dinv, self.lmax),
-                (self.n, self.nnz, self.fmt))
+                (self.n, self.nnz, self.fmt, self.kind))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -167,16 +192,18 @@ class SmoothedAggregationAMG:
     """
 
     def __init__(self, levels: tuple, coarse_inv: jnp.ndarray,
-                 theta: float, degree: int, ratio: float):
+                 theta: float, degree: int, ratio: float,
+                 omega: float = 4.0 / 3.0):
         self.levels = tuple(levels)
         self.coarse_inv = coarse_inv
         self.theta = theta
         self.degree = degree
         self.ratio = ratio
+        self.omega = omega
 
     def tree_flatten(self):
         return ((self.levels, self.coarse_inv),
-                (self.theta, self.degree, self.ratio))
+                (self.theta, self.degree, self.ratio, self.omega))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -193,7 +220,9 @@ class SmoothedAggregationAMG:
         return sum(l.n for l in self.levels) / max(self.levels[0].n, 1)
 
     def __repr__(self) -> str:
-        rows = ", ".join(f"{l.n}({l.fmt},nnz={l.nnz})" for l in self.levels)
+        rows = ", ".join(
+            f"{l.n}({l.fmt}{'|blk' if l.kind == 'block' else ''},"
+            f"nnz={l.nnz})" for l in self.levels)
         return (f"SmoothedAggregationAMG(levels=[{rows}], "
                 f"op_cx={self.operator_complexity:.2f}, "
                 f"grid_cx={self.grid_complexity:.2f}, "
@@ -222,13 +251,29 @@ class SmoothedAggregationAMG:
             rho = rho_new
         return z
 
+    def _restrict(self, lev: _Level, r: jnp.ndarray) -> jnp.ndarray:
+        if lev.kind != "block":
+            return _apply(lev.p, r)
+        # Pᵀ r = P0ᵀ (r − (ω/λ) A d⁻¹ r); P0ᵀ = weighted block reduction
+        w0 = lev.p
+        rs = r - (self.omega / lev.lmax) * _apply(lev.a, lev.dinv * r)
+        rs = jnp.pad(rs, (0, w0.shape[0] * w0.shape[1] - lev.n))
+        return (rs.reshape(w0.shape) * w0).sum(axis=1)
+
+    def _prolong(self, lev: _Level, e: jnp.ndarray) -> jnp.ndarray:
+        if lev.kind != "block":
+            return _apply(lev.pt, e)
+        # P e = (I − (ω/λ) d⁻¹ A) P0 e; P0 = weighted block broadcast
+        u = (e[:, None] * lev.p).reshape(-1)[: lev.n]
+        return u - (self.omega / lev.lmax) * (lev.dinv * _apply(lev.a, u))
+
     def _cycle(self, li: int, r: jnp.ndarray) -> jnp.ndarray:
         lev = self.levels[li]
         if li == len(self.levels) - 1:               # coarsest: exact solve
             return r @ self.coarse_inv
         x = self._smooth(lev, r)                     # pre-smooth (zero guess)
-        rc = _apply(lev.p, r - _apply(lev.a, x))     # restrict residual
-        x = x + _apply(lev.pt, self._cycle(li + 1, rc))
+        rc = self._restrict(lev, r - _apply(lev.a, x))
+        x = x + self._prolong(lev, self._cycle(li + 1, rc))
         return x + self._smooth(lev, r - _apply(lev.a, x))   # post-smooth
 
     def __call__(self, r: jnp.ndarray) -> jnp.ndarray:
@@ -271,28 +316,46 @@ def _pack(sp, dense_cutoff: int, square: bool):
     from tpusparse.formats.tcsr import TcsrMatrix
     from tpusparse.utils import round_up
 
+    _dbg(f"  _pack {sp.shape}: converting to CsrMatrix")
     csr = CsrMatrix.from_scipy(sp.astype(np.float32))
+    _dbg(f"  _pack {sp.shape}: packing format")
     if square:
         fmt = auto_format(csr)
-    elif (round_up(m, 128) + round_up(n, 128) * 8) * 4 <= 8 << 20:
+    elif (round_up(m, 128) + round_up(n, 128) * 8) * 4 <= 96 << 20:
         # prolongators are tall/thin with nnz in a thin band of tiles:
-        # RSELL's per-tile ragged widths skip the empty tiles (a global
-        # SELL width would stream the whole tile grid at max width)...
-        fmt = RsellMatrix.from_csr(csr)
+        # RSELL's contiguous chunk stream skips the empty tiles AND keeps
+        # the input DMAs statically indexed (pipelined). The alternative
+        # tiled carriers pay a per-dynamic-tile DMA-issue floor: TCSR on
+        # the 1M-Laplacian prolongator measured 7.3 ms (vs a 57 us byte
+        # roofline; BENCH.md §Solver). RSELL's whole-in-VMEM X/Y is
+        # affordable up to its 96 MB raised-limit cap (rsell_spmv.py).
+        # sort=False: the band IS the locality — the SELL-sigma column
+        # sort would scatter it across tiles, and its n-sized unpermute
+        # plan is pathological at 1M fine columns.
+        from tpusparse.formats.rsell import rsell_pack_csr
+
+        pk = rsell_pack_csr(csr, sort=False)
+        fmt = RsellMatrix(**pk)
     else:
-        # ...but RSELL keeps X and Y whole in VMEM (see rsell_spmv) —
-        # past that budget, TCSR's block-skip tiles carry the band
+        # past even the raised VMEM cap, TCSR's block-skip tiles carry it
         fmt = TcsrMatrix.from_csr(csr)
+    _dbg(f"  _pack {sp.shape}: {type(fmt).__name__} built, uploading")
     # device-resident leaves: the hierarchy is passed INTO jit as an
     # argument each call, and host leaves would re-upload over the
-    # ~MB/s tunnel every time
-    return jax.device_put(fmt), type(fmt).__name__
+    # ~MB/s tunnel every time. Compressed put: slot arrays of thin-band
+    # carriers are >90% tile padding — ship nonzeros, scatter on device.
+    from tpusparse.utils import device_put_compressed
+
+    fmt = device_put_compressed(fmt)
+    _dbg(f"  _pack {sp.shape}: upload done")
+    return fmt, type(fmt).__name__
 
 
 def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
                          ratio: float = 8.0, coarse_size: int = 400,
                          max_levels: int = 12, omega: float = 4.0 / 3.0,
                          dense_cutoff: int = 2048,
+                         aggregation: str = "auto", block_size: int = 8,
                          sym_tol: float = 1e-6) -> SmoothedAggregationAMG:
     """Build a smoothed-aggregation AMG hierarchy for symmetric ``a``.
 
@@ -307,6 +370,17 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     Levels coarser than ``dense_cutoff`` switch from packed formats to
     dense device matmuls; ``coarse_size`` caps the hierarchy with a
     precomputed dense inverse.
+
+    ``aggregation`` — per-level transfer strategy (see ``_Level``):
+    ``"greedy"`` (Vanek 3-pass + packed sparse prolongator carriers),
+    ``"block"`` (aggregates = ``block_size`` consecutive indices; grid
+    transfers become reshapes + one extra apply of the level operator —
+    gather-free and DMA-floor-free), or ``"auto"``: block only on levels
+    whose bandwidth is within ``2 * block_size`` (chain/ODE stencils,
+    where index strips ARE graph neighborhoods), greedy elsewhere. Wider
+    bands must stay greedy: strips on a 2-D grid's band semicoarsen one
+    direction only and CG iterations blow up 6 -> 61 (measured, 1024^2
+    Laplacian, BENCH.md §Solver).
     """
     from scipy import sparse as ssp
 
@@ -325,6 +399,9 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     if asym.nnz and asym.max() > sym_tol * max(abs(sp).max(), 1e-300):
         raise ValueError("AMG requires a symmetric matrix "
                          f"(max|A - A.T| = {asym.max():.3g})")
+    if aggregation not in ("auto", "greedy", "block"):
+        raise ValueError(f"aggregation must be auto|greedy|block, "
+                         f"got {aggregation!r}")
 
     levels: list[_Level] = []
     while sp.shape[0] > coarse_size and len(levels) < max_levels - 1:
@@ -333,9 +410,23 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         dinv_h = 1.0 / np.where(np.abs(diag) > 1e-300, diag, 1.0)
         lmax = _lmax_dinv_a(sp, dinv_h)
 
-        agg, n_agg = _aggregate(sp, theta)
-        if n_agg >= n:            # aggregation stalled (all singletons)
-            break
+        mode = aggregation
+        if mode == "auto":
+            rows = np.repeat(np.arange(n), np.diff(sp.indptr))
+            bw = int(np.abs(sp.indices - rows).max()) if sp.nnz else 0
+            # block strips are graph-local aggregates ONLY on truly
+            # narrow bands (chains/ODE stencils): on a 2-D grid's
+            # bw=side band, strips semicoarsen one direction and CG
+            # iterations blow up 6 -> 61 (measured, 1024^2 Laplacian)
+            mode = "block" if (n >= 4096 and bw <= 2 * block_size) \
+                else "greedy"
+        if mode == "block":
+            agg = np.arange(n) // block_size
+            n_agg = int(agg[-1]) + 1
+        else:
+            agg, n_agg = _aggregate(sp, theta)
+            if n_agg >= n:        # aggregation stalled (all singletons)
+                break
         # tentative prolongator: unit-normalized aggregate indicators
         counts = np.bincount(agg, minlength=n_agg).astype(np.float64)
         p0 = ssp.csr_matrix(
@@ -345,13 +436,29 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         da = ssp.diags(dinv_h * (omega / max(lmax, 1e-30))) @ sp
         p = (p0 - da @ p0).tocsr()
 
+        _dbg(f"level n={n}: aggregated ({mode}), packing A")
         a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
-        p_op, _ = _pack(p, dense_cutoff, square=False)
-        pt_op, _ = _pack(p.T.tocsr(), dense_cutoff, square=False)
-        levels.append(_Level(
-            a_op, p_op, pt_op, jnp.asarray(dinv_h.astype(np.float32)),
-            jnp.float32(lmax), n, sp.nnz, fmt_name))
+        _dbg(f"level n={n}: A packed ({fmt_name})")
+        dinv_d = jnp.asarray(dinv_h.astype(np.float32))
+        if mode == "block":
+            # device transfers need only the (nc, s) weight table: block
+            # aggregates are row-major contiguous, so the flat per-node
+            # weights fill it directly
+            w0 = np.zeros((n_agg, block_size), np.float32)
+            w0.ravel()[:n] = (1.0 / np.sqrt(counts[agg])).astype(np.float32)
+            levels.append(_Level(
+                a_op, jnp.asarray(w0), None, dinv_d, jnp.float32(lmax),
+                n, sp.nnz, fmt_name, kind="block"))
+        else:
+            p_op, _ = _pack(p, dense_cutoff, square=False)
+            _dbg(f"level n={n}: P packed")
+            pt_op, _ = _pack(p.T.tocsr(), dense_cutoff, square=False)
+            _dbg(f"level n={n}: Pt packed")
+            levels.append(_Level(
+                a_op, p_op, pt_op, dinv_d, jnp.float32(lmax),
+                n, sp.nnz, fmt_name))
         sp = (p.T @ sp @ p).tocsr()
+        _dbg(f"level n={n}: Galerkin product done (next n={sp.shape[0]})")
 
     a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
     levels.append(_Level(a_op, None, None, None, None, sp.shape[0], sp.nnz,
@@ -360,4 +467,4 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     # (symmetric, so the row-vector convention needs no transpose)
     coarse_inv = jnp.asarray(np.linalg.inv(sp.toarray()).astype(np.float32))
     return SmoothedAggregationAMG(tuple(levels), coarse_inv, theta, degree,
-                                  ratio)
+                                  ratio, omega)

@@ -39,7 +39,8 @@ from tpusparse.utils import default_interpret
 _LANES = 128
 _SUB = 8
 
-_WIDE_VMEM_LIMIT = 8 * 1024 * 1024
+_WIDE_VMEM_LIMIT = 8 * 1024 * 1024      # comfort zone: no limit override
+_WIDE_VMEM_CAP = 96 * 1024 * 1024        # hard cap (v5e VMEM is 128 MB)
 
 
 def _rsell_kernel(cj_ref, ct_ref, idx_ref, val_ref, x_ref, o_ref, *,
@@ -81,11 +82,19 @@ def rsell_spmm_padded(
         interpret = default_interpret()
     nchunk = vals.shape[0]
     b = x.shape[0]
-    if (x.size + n_padded * b * _SUB) * x.dtype.itemsize > _WIDE_VMEM_LIMIT:
+    need = (x.size + n_padded * b * _SUB) * x.dtype.itemsize
+    if need > _WIDE_VMEM_CAP:
         raise ValueError(
             f"rsell keeps X and Y whole in VMEM; B={b} x N={n_padded} "
-            f"exceeds the {_WIDE_VMEM_LIMIT >> 20} MB budget — use "
+            f"exceeds the {_WIDE_VMEM_CAP >> 20} MB budget — use "
             f"SellMatrix/TcsrMatrix for this shape")
+    # Past the default scoped-VMEM comfort zone, raise the per-kernel
+    # limit instead of refusing: v5e VMEM is 128 MB, and the whole-in-VMEM
+    # X/Y + double-buffered chunk stream is the fast shape for thin-band
+    # matrices (AMG prolongators: a tiled-output carrier pays a per-tile
+    # DMA-issue floor ~30x the byte roofline, BENCH.md §Solver).
+    vmem_limit = None if need <= _WIDE_VMEM_LIMIT \
+        else min(need + (8 << 20), 128 << 20)
     # chunks per step: the shared bytes-targeting rule (tune.blocks_per_step),
     # capped at 128 to bound the unrolled kernel body; pack-time
     # 128-alignment of long lists keeps the divisor snap from degrading
@@ -110,6 +119,7 @@ def rsell_spmm_padded(
         out_shape=jax.ShapeDtypeStruct((b * _SUB, n_padded), x.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=vmem_limit,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * int(vals.size) * b,

@@ -47,6 +47,43 @@ def enable_compile_cache() -> str:
     return path
 
 
+def device_put_compressed(tree, *, min_zero_frac: float = 0.6,
+                          min_bytes: int = 1 << 20):
+    """``jax.device_put`` a pytree, but ship mostly-zero leaves as
+    (positions, nonzeros) and scatter-rebuild them ON device.
+
+    Packed-format slot arrays pad nnz to tile quanta; on thin-band
+    matrices (AMG prolongators) the padding is ~92% zeros, and over the
+    axon tunnel's ~2-6 MB/s host->device path a 300 MB padded carrier
+    costs minutes while its 24 MB compressed form costs seconds. The
+    one-time device-side scatter at nnz scale is ~tens of ms — fine for
+    setup, which is exactly why the library bans the same scatter from
+    the per-step path (CLAUDE.md / kernels/sell_grad.py).
+
+    Leaves smaller than ``min_bytes`` or with fewer than
+    ``min_zero_frac`` zeros upload as-is.
+    """
+    import jax.numpy as jnp
+    import numpy as _np
+
+    def put(leaf):
+        arr = _np.asarray(leaf) if not isinstance(leaf, jax.Array) else None
+        if arr is None or arr.nbytes < min_bytes or \
+                not _np.issubdtype(arr.dtype, _np.number):
+            return jax.device_put(leaf)
+        flat = arr.ravel()
+        nz = _np.flatnonzero(flat)
+        if len(nz) > (1.0 - min_zero_frac) * flat.size or \
+                flat.size >= (1 << 31):
+            return jax.device_put(leaf)
+        built = jnp.zeros(flat.size, arr.dtype).at[
+            jax.device_put(nz.astype(_np.int32))].set(
+            jax.device_put(flat[nz]))
+        return built.reshape(arr.shape)
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def default_interpret() -> bool:
     """Pallas kernels run compiled on TPU, interpreted elsewhere (CPU tests).
 
