@@ -145,12 +145,36 @@ def test_amg_block_mode_engages_and_converges():
     zb, ib = amg.solve(jnp.asarray(b), tol=1e-5)
     assert int(ib["iters"]) <= 20
     np.testing.assert_allclose(a @ np.asarray(zb), b, atol=1e-3)
-    # a 2-D band must NOT block-route (strip semicoarsening stalls CG)
+    # a 2-D lattice must NOT 1-D block-route (strip semicoarsening stalls
+    # CG); auto stays greedy (grid mode is an explicit setup-time opt-in)
     a2 = _laplacian_2d(64)
     assert smoothed_aggregation(
         CsrMatrix.from_dense(a2)).levels[0].kind == "packed"
     with pytest.raises(ValueError, match="aggregation"):
         smoothed_aggregation(a2, aggregation="pairwise")
+
+
+def test_amg_grid_mode_matches_greedy_and_respects_boundaries():
+    # odd-dimension lattice: boundary aggregates have 2/1 members; the
+    # carrier-free reshape transfers must reproduce exact P0 weighting
+    n_side = 96
+    a = _laplacian_2d(n_side)
+    csr = CsrMatrix.from_dense(a)
+    amg = smoothed_aggregation(csr, aggregation="grid")
+    assert amg.levels[0].kind == "grid"
+    assert amg.levels[0].shape2d == (n_side, n_side, 3)
+    rng = np.random.default_rng(11)
+    b = rng.normal(size=n_side * n_side).astype(np.float32)
+    z, info = amg.solve(jnp.asarray(b), tol=1e-5)
+    assert int(info["iters"]) <= 12
+    np.testing.assert_allclose(
+        a.astype(np.float64) @ np.asarray(z, np.float64), b, atol=1e-3)
+    # explicit grid request on a non-lattice matrix must fail loudly
+    rng_m = np.random.default_rng(3)
+    dense = rng_m.normal(size=(256, 256)).astype(np.float32)
+    spd = dense @ dense.T + 256 * np.eye(256, dtype=np.float32)
+    with pytest.raises(ValueError, match="lattice"):
+        smoothed_aggregation(spd, aggregation="grid", coarse_size=64)
 
 
 def test_device_put_compressed_identity():

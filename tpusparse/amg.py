@@ -134,6 +134,39 @@ def _dbg(msg: str) -> None:
         print(f"[amg {time.strftime('%H:%M:%S')}] {msg}", flush=True)
 
 
+_GRID_HALO = 4       # max stencil half-width accepted as "still a lattice"
+
+
+def _detect_grid(sp) -> int | None:
+    """Row stride ``C`` when ``sp`` is a lattice stencil on a row-major
+    ``(R, C)`` grid — every nonzero offset decomposes as ``a + b*C`` with
+    ``|a|, |b| <= _GRID_HALO`` — else None. Accepting a halo (not just
+    the 5/9-point pattern) matters because Galerkin coarse operators grow:
+    a 5-point fine stencil under 3x3 smoothed aggregation coarsens to a
+    ~9-point, then wider, lattice stencil; detection must recurse down
+    the hierarchy or deeper levels fall back to packed sparse carriers
+    (measured: the 512^2 level's 25-point stencil went greedy and paid
+    ~50 s packing + uploading RSELL prolongators)."""
+    n = sp.shape[0]
+    if sp.nnz == 0:
+        return None
+    rows = np.repeat(np.arange(n), np.diff(sp.indptr))
+    offs = np.unique(sp.indices - rows)
+    pos = offs[offs > _GRID_HALO]
+    if pos.size == 0:
+        return None
+    h = _GRID_HALO
+    for c in range(max(int(pos.min()) - h, 2 * h + 2),
+                   int(pos.min()) + h + 1):
+        if n % c or n // c < 4:
+            continue
+        b = np.rint(offs / c).astype(np.int64)
+        a = offs - b * c
+        if np.abs(a).max() <= h and np.abs(b).max() <= h:
+            return c
+    return None
+
+
 def _apply(op, v):
     """``v -> v @ op`` for a dense device array or a packed format."""
     if isinstance(op, jax.Array):
@@ -151,23 +184,33 @@ class _Level:
       smoothed prolongator (greedy Vanek aggregates — arbitrary graphs).
     - ``"block"``: aggregates are CONSECUTIVE index blocks, so the
       tentative ``P0`` is a reshape + weighted sum (``p`` holds only the
-      ``(nc, s)`` weight table; ``pt`` is None), and the SMOOTHED
-      transfers use the identity ``Pᵀr = P0ᵀ(r − (ω/λ)A d⁻¹r)`` /
-      ``Pe = (I − (ω/λ)d⁻¹A) P0e`` — one extra apply of the level
-      operator that is ALREADY packed, instead of a separate sparse
-      carrier whose thin-band tile structure is DMA-issue-bound
-      (measured 7.3 ms vs a 57 µs byte roofline for the 1M-unknown
-      Laplacian's P under TCSR, BENCH.md §Solver).
+      ``(nc, s)`` weight table; ``pt`` is None).
+    - ``"grid"``: the level is a detected row-major R x C lattice
+      (``shape2d = (R, C, s)``); aggregates are s x s spatial blocks, so
+      ``P0ᵀ`` is a strided reshape-sum over the (R, C) view and ``P0``
+      the matching broadcast (``p`` holds the per-fine-node weights
+      ``1/sqrt(|agg|)``; ``pt`` is None). No sparse carrier, no gather: slot formats pad a
+      ~2-nnz-per-row prolongator 10-16x through the 8-slot chunk quantum
+      (measured 178-290 us vs a 22 us byte floor on the 1M Laplacian's
+      P — BENCH.md §AMG), while the reshape-sum is a fused XLA
+      vector pass.
+
+    "block" and "grid" apply the SMOOTHED transfers through the identity
+    ``Pᵀr = P0ᵀ(r − (ω/λ)A d⁻¹r)`` / ``Pe = (I − (ω/λ)d⁻¹A) P0e`` — one
+    extra apply of the level operator that is ALREADY packed (DIA on
+    banded levels), instead of a separate sparse carrier.
     """
 
-    def __init__(self, a, p, pt, dinv, lmax, n, nnz, fmt, kind="packed"):
+    def __init__(self, a, p, pt, dinv, lmax, n, nnz, fmt, kind="packed",
+                 shape2d=None):
         self.a, self.p, self.pt = a, p, pt
         self.dinv, self.lmax = dinv, lmax
         self.n, self.nnz, self.fmt, self.kind = n, nnz, fmt, kind
+        self.shape2d = shape2d
 
     def tree_flatten(self):
         return ((self.a, self.p, self.pt, self.dinv, self.lmax),
-                (self.n, self.nnz, self.fmt, self.kind))
+                (self.n, self.nnz, self.fmt, self.kind, self.shape2d))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -220,8 +263,9 @@ class SmoothedAggregationAMG:
         return sum(l.n for l in self.levels) / max(self.levels[0].n, 1)
 
     def __repr__(self) -> str:
+        tag = {"block": "|blk", "grid": "|grid"}
         rows = ", ".join(
-            f"{l.n}({l.fmt}{'|blk' if l.kind == 'block' else ''},"
+            f"{l.n}({l.fmt}{tag.get(l.kind, '')},"
             f"nnz={l.nnz})" for l in self.levels)
         return (f"SmoothedAggregationAMG(levels=[{rows}], "
                 f"op_cx={self.operator_complexity:.2f}, "
@@ -251,20 +295,40 @@ class SmoothedAggregationAMG:
             rho = rho_new
         return z
 
+    def _p0t(self, lev: _Level, v: jnp.ndarray) -> jnp.ndarray:
+        """``P0ᵀ v`` — weighted aggregate reduction, carrier-free."""
+        if lev.kind == "grid":
+            R, C, s = lev.shape2d
+            g = (v * lev.p).reshape(R, C)
+            if R % s or C % s:
+                g = jnp.pad(g, ((0, -R % s), (0, -C % s)))
+            return g.reshape(-(-R // s), s, -(-C // s), s) \
+                    .sum(axis=(1, 3)).reshape(-1)
+        w0 = lev.p                       # block: (nc, s) weight table
+        v = jnp.pad(v, (0, w0.shape[0] * w0.shape[1] - lev.n))
+        return (v.reshape(w0.shape) * w0).sum(axis=1)
+
+    def _p0(self, lev: _Level, e: jnp.ndarray) -> jnp.ndarray:
+        """``P0 e`` — weighted aggregate broadcast, carrier-free."""
+        if lev.kind == "grid":
+            R, C, s = lev.shape2d
+            rc, cc = -(-R // s), -(-C // s)
+            u = jnp.broadcast_to(e.reshape(rc, 1, cc, 1), (rc, s, cc, s))
+            return u.reshape(s * rc, s * cc)[:R, :C].reshape(-1) * lev.p
+        return (e[:, None] * lev.p).reshape(-1)[: lev.n]
+
     def _restrict(self, lev: _Level, r: jnp.ndarray) -> jnp.ndarray:
-        if lev.kind != "block":
+        if lev.kind == "packed":
             return _apply(lev.p, r)
-        # Pᵀ r = P0ᵀ (r − (ω/λ) A d⁻¹ r); P0ᵀ = weighted block reduction
-        w0 = lev.p
+        # Pᵀ r = P0ᵀ (r − (ω/λ) A d⁻¹ r)
         rs = r - (self.omega / lev.lmax) * _apply(lev.a, lev.dinv * r)
-        rs = jnp.pad(rs, (0, w0.shape[0] * w0.shape[1] - lev.n))
-        return (rs.reshape(w0.shape) * w0).sum(axis=1)
+        return self._p0t(lev, rs)
 
     def _prolong(self, lev: _Level, e: jnp.ndarray) -> jnp.ndarray:
-        if lev.kind != "block":
+        if lev.kind == "packed":
             return _apply(lev.pt, e)
-        # P e = (I − (ω/λ) d⁻¹ A) P0 e; P0 = weighted block broadcast
-        u = (e[:, None] * lev.p).reshape(-1)[: lev.n]
+        # P e = (I − (ω/λ) d⁻¹ A) P0 e
+        u = self._p0(lev, e)
         return u - (self.omega / lev.lmax) * (lev.dinv * _apply(lev.a, u))
 
     def _cycle(self, li: int, r: jnp.ndarray) -> jnp.ndarray:
@@ -356,6 +420,7 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
                          max_levels: int = 12, omega: float = 4.0 / 3.0,
                          dense_cutoff: int = 2048,
                          aggregation: str = "auto", block_size: int = 8,
+                         grid_block: int = 3,
                          sym_tol: float = 1e-6) -> SmoothedAggregationAMG:
     """Build a smoothed-aggregation AMG hierarchy for symmetric ``a``.
 
@@ -373,14 +438,22 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
 
     ``aggregation`` — per-level transfer strategy (see ``_Level``):
     ``"greedy"`` (Vanek 3-pass + packed sparse prolongator carriers),
-    ``"block"`` (aggregates = ``block_size`` consecutive indices; grid
-    transfers become reshapes + one extra apply of the level operator —
-    gather-free and DMA-floor-free), or ``"auto"``: block only on levels
-    whose bandwidth is within ``2 * block_size`` (chain/ODE stencils,
-    where index strips ARE graph neighborhoods), greedy elsewhere. Wider
-    bands must stay greedy: strips on a 2-D grid's band semicoarsen one
-    direction only and CG iterations blow up 6 -> 61 (measured, 1024^2
-    Laplacian, BENCH.md §Solver).
+    ``"grid"`` (detected row-major R x C lattice; aggregates =
+    ``grid_block`` x ``grid_block`` spatial blocks — default 3, the
+    Vanek aggregate diameter; transfers = strided reshape-sums + one
+    extra apply of the level operator — no carriers, no gathers),
+    ``"block"``
+    (aggregates = ``block_size`` consecutive indices; transfers become
+    reshapes the same way), or ``"auto"``: block on levels whose
+    bandwidth is within ``2 * block_size`` (chain/ODE stencils, where
+    index strips ARE graph neighborhoods), greedy elsewhere — including
+    detected lattices, where greedy's packed carriers measured 2.5x
+    faster per solve than grid's extra operator applies (BENCH.md §AMG);
+    pass ``aggregation="grid"`` explicitly to trade ~2.4x V-cycle/solve
+    time for ~2x faster setup. Wider non-lattice bands must stay
+    greedy: 1-D strips on a 2-D grid's band semicoarsen one direction
+    only and CG iterations blow up 6 -> 61 (measured, 1024^2 Laplacian,
+    BENCH.md §Solver).
     """
     from scipy import sparse as ssp
 
@@ -399,8 +472,8 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     if asym.nnz and asym.max() > sym_tol * max(abs(sp).max(), 1e-300):
         raise ValueError("AMG requires a symmetric matrix "
                          f"(max|A - A.T| = {asym.max():.3g})")
-    if aggregation not in ("auto", "greedy", "block"):
-        raise ValueError(f"aggregation must be auto|greedy|block, "
+    if aggregation not in ("auto", "greedy", "block", "grid"):
+        raise ValueError(f"aggregation must be auto|greedy|block|grid, "
                          f"got {aggregation!r}")
 
     levels: list[_Level] = []
@@ -411,16 +484,35 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         lmax = _lmax_dinv_a(sp, dinv_h)
 
         mode = aggregation
+        grid_c = _detect_grid(sp) if mode == "grid" else None
         if mode == "auto":
             rows = np.repeat(np.arange(n), np.diff(sp.indptr))
             bw = int(np.abs(sp.indices - rows).max()) if sp.nnz else 0
-            # block strips are graph-local aggregates ONLY on truly
-            # narrow bands (chains/ODE stencils): on a 2-D grid's
-            # bw=side band, strips semicoarsen one direction and CG
-            # iterations blow up 6 -> 61 (measured, 1024^2 Laplacian)
-            mode = "block" if (n >= 4096 and bw <= 2 * block_size) \
-                else "greedy"
-        if mode == "block":
+            # auto stays GREEDY on detected lattices: measured at 1024^2
+            # (BENCH.md §AMG) greedy solves 2.5x faster (12.6 vs 31.3 ms;
+            # V-cycle 873 vs 1298 us) because its packed carriers beat
+            # grid mode's extra per-level operator applies — grid's win
+            # is setup (6.6 vs 12.8 s), an explicit opt-in. 1-D block
+            # strips are graph-local ONLY on truly narrow bands
+            # (chains/ODE stencils): on a 2-D grid's bw=side band,
+            # strips semicoarsen one direction and CG iterations blow
+            # up 6 -> 61 (measured, 1024^2 Laplacian)
+            if n >= 4096 and bw <= 2 * block_size:
+                mode = "block"
+            else:
+                mode = "greedy"
+        shape2d = None
+        if mode == "grid":
+            if grid_c is None:
+                raise ValueError("aggregation='grid' but no row-major "
+                                 "lattice structure detected")
+            gs = grid_block
+            shape2d = (n // grid_c, grid_c, gs)
+            r0, c0 = np.divmod(np.arange(n), grid_c)
+            cc = -(-grid_c // gs)
+            agg = (r0 // gs) * cc + (c0 // gs)
+            n_agg = (-(-shape2d[0] // gs)) * cc
+        elif mode == "block":
             agg = np.arange(n) // block_size
             n_agg = int(agg[-1]) + 1
         else:
@@ -440,7 +532,14 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
         _dbg(f"level n={n}: A packed ({fmt_name})")
         dinv_d = jnp.asarray(dinv_h.astype(np.float32))
-        if mode == "block":
+        if mode == "grid":
+            # device transfers need only the per-fine-node weights: 2x2
+            # spatial aggregates are strided reshapes over the (R, C) view
+            wf = (1.0 / np.sqrt(counts[agg])).astype(np.float32)
+            levels.append(_Level(
+                a_op, jnp.asarray(wf), None, dinv_d, jnp.float32(lmax),
+                n, sp.nnz, fmt_name, kind="grid", shape2d=shape2d))
+        elif mode == "block":
             # device transfers need only the (nc, s) weight table: block
             # aggregates are row-major contiguous, so the flat per-node
             # weights fill it directly

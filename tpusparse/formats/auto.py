@@ -4,11 +4,16 @@ The reference hard-codes which kernel runs (tester.cpp:54-63); a framework
 should route a matrix to the format whose measured regime it falls in
 (crossovers from BENCH.md):
 
-- banded (few distinct diagonals, diagonal storage within ~25% of the
+- banded (few distinct diagonals, diagonal storage within ~4x of the
   slot-format's nnz-proportional bytes): DIA — k statically shifted
   elementwise streams, no gathers, no tile quantum; the measured
   counter-case is a 1M-unknown Laplacian where tile formats paid 8x bytes
-  and a 36x DMA-issue floor (BENCH.md §Solver).
+  and a 36x DMA-issue floor (BENCH.md §Solver). The 4x headroom is itself
+  measured: the 175k Galerkin coarse operator (15 diagonals, ~60% full)
+  sat 7% past a 1.25x threshold and ran 24x slower under TCSR (171 us vs
+  DIA's ~7-13 us, BENCH.md §AMG) — slot formats never reach their byte
+  floor on banded structure, so DIA's zero-overhead streams win well past
+  byte parity.
 - near-dense (d > 0.65): compression cannot beat streaming dense A — use the
   ASP window-skip path (dense A + activation skipping; ~dense baseline on
   i.i.d. X, wins on structured X).
@@ -125,14 +130,22 @@ def auto_format(a, *, expect_structured_x: bool = False,
     s = stats or (matrix_stats_csr(a) if is_csr else matrix_stats(a))
 
     m, n = a.shape
-    # banded first: when diagonal storage (4*k*n bytes, zero overhead
-    # streams) is within ~25% of the slot formats' nnz-proportional floor
-    # (5 B/nnz), nothing tile- or gather-shaped can beat it — and tile
-    # formats are CATASTROPHIC on wide-spread bands (the (8,128) VREG
-    # quantum per touched tile; measured 8x bytes + 36x DMA floor on the
-    # 1M Laplacian, BENCH.md §Solver)
-    if 0 < s.get("n_diags", 1 << 30) <= 512 and \
-            4 * s["n_diags"] * n <= 1.25 * 5 * s["nnz"]:
+    # banded first: when the stored diagonals are mostly FULL (the
+    # structural banded signal — without it a small dense-ish random
+    # matrix "has" every diagonal at low fill) and diagonal storage
+    # (4*k*n bytes, zero-overhead streams) is within ~4x of the slot
+    # formats' nnz-proportional floor (5 B/nnz), nothing tile- or
+    # gather-shaped can beat it — tile formats are CATASTROPHIC on
+    # wide-spread bands (the (8,128) VREG quantum per touched tile;
+    # measured 8x bytes + 36x DMA floor on the 1M Laplacian, and 24x on
+    # the 15-diagonal 175k Galerkin coarse operator that a 1.25x
+    # threshold mis-routed to TCSR — BENCH.md §Solver/§AMG). 4x DIA
+    # bytes at roofline still beats a slot format running at <25% of
+    # its floor rate, the consistent banded-case measurement.
+    n_diags = s.get("n_diags", 1 << 30)
+    if 0 < n_diags <= 512 and \
+            s["nnz"] >= 0.4 * n_diags * min(m, n) and \
+            4 * n_diags * n <= 4.0 * 5 * s["nnz"]:
         from tpusparse.formats.dia import DiaMatrix
 
         return DiaMatrix.from_csr(a) if is_csr else DiaMatrix.from_dense(a)
