@@ -351,6 +351,60 @@ class SmoothedAggregationAMG:
                           None if x0 is None else jnp.asarray(x0),
                           tol, atol, maxiter)
 
+    def shard(self, mesh, axis: str = "n") -> "SmoothedAggregationAMG":
+        """Multi-chip placement: a copy of the hierarchy with every
+        n-sized leaf sharded slab-wise over ``mesh`` axis ``axis``
+        (indivisible/coarse leaves replicated).
+
+        This is pure GSPMD — no shard_map, no hand-written collectives.
+        ``grid``/``block`` hierarchies over DIA or dense level operators
+        lower to XLA ops only (statically shifted slices, reshape-sums,
+        matmuls), so these placement hints are all jit needs to partition
+        the entire V-cycle/solve: DIA's ±offset slices become halo
+        ``collective-permute``s over ICI (comm ∝ bandwidth, not n), grid
+        transfers stay shard-local up to aggregate-boundary exchanges,
+        and CG dot products become ``psum``s. Levels whose n is not
+        divisible by the mesh axis (small coarse grids) replicate; GSPMD
+        inserts the gather at the transfer boundary automatically.
+
+        Greedy (``"packed"``) levels carry Pallas-format operators and
+        prolongator carriers that GSPMD cannot split — build with
+        ``aggregation="grid"``/``"block"`` (lattices / narrow bands,
+        exactly the structures AMG fits best) for sharded solves, or
+        raise ``dense_cutoff`` so carriers stay dense.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        from tpusparse.formats.dia import DiaMatrix
+
+        d = mesh.shape[axis]
+        rep = NamedSharding(mesh, PartitionSpec())
+
+        def place(lev: _Level) -> _Level:
+            ok_op = isinstance(lev.a, (jax.Array, DiaMatrix))
+            ok_tr = lev.kind in ("grid", "block") or all(
+                c is None or isinstance(c, jax.Array)
+                for c in (lev.p, lev.pt))
+            if not (ok_op and ok_tr):
+                raise ValueError(
+                    f"level n={lev.n} ({lev.fmt}|{lev.kind}) holds "
+                    "Pallas-packed operators/carriers that GSPMD cannot "
+                    "partition; build with aggregation='grid' or 'block' "
+                    "(or raise dense_cutoff) for sharded solves")
+
+            def put(x):
+                if x.ndim and x.shape[-1] == lev.n and lev.n % d == 0:
+                    spec = PartitionSpec(*([None] * (x.ndim - 1)), axis)
+                    return jax.device_put(x, NamedSharding(mesh, spec))
+                return jax.device_put(x, rep)
+
+            return jax.tree_util.tree_map(put, lev)
+
+        return SmoothedAggregationAMG(
+            tuple(place(l) for l in self.levels),
+            jax.device_put(self.coarse_inv, rep),
+            self.theta, self.degree, self.ratio, self.omega)
+
 
 @jax.jit
 def _amg_apply(amg: SmoothedAggregationAMG, r: jnp.ndarray) -> jnp.ndarray:
