@@ -224,3 +224,111 @@ def test_native_autodiff(banded):
         got = np.array(dvals[i])
         got[(ii + off < 0) | (ii + off >= 384)] = 0.0
         np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+# ---------------------------- symmetric storage -----------------------------
+
+
+@pytest.fixture(scope="module")
+def sym_banded():
+    # bitwise-symmetric band: build upper half, mirror exactly
+    rng = np.random.default_rng(112)
+    n = 512
+    a = np.zeros((n, n), dtype=np.float32)
+    ii, jj = np.indices(a.shape)
+    d = ii - jj
+    for off in (0, 1, 5, 33):
+        band = (d == off)
+        vals = rng.normal(size=int(band.sum())).astype(np.float32)
+        a[band] = vals
+    # bands above sit on ii - jj == off >= 0 (lower triangle); mirror the
+    # strictly-lower part up so the result is bitwise symmetric
+    return (a + np.tril(a, -1).T).astype(np.float32)
+
+
+def test_sym_pack_detects_and_halves(sym_banded):
+    m = DiaMatrix.from_dense(sym_banded)
+    assert m.sym and all(d >= 0 for d in m.offsets)
+    full = DiaMatrix.from_dense(sym_banded, symmetric=False)
+    assert not full.sym
+    assert m.device_bytes() * 2 > full.device_bytes() >= \
+        m.device_bytes() * 2 - m.shape[1] * 4  # k_half = (k+1)/2
+    np.testing.assert_array_equal(m.to_dense(), sym_banded)
+    x = generators.random_sparse_vector(512, density=0.6, seed=113)
+    assert_close(m.spmv(jnp.asarray(x)),
+                 reference.sgemv_cpu(x, sym_banded), name="sym dia spmv")
+    xb = generators.random_sparse_batch(3, 512, density=0.6, seed=114)
+    assert_close(m.spmm(jnp.asarray(xb)),
+                 (np.asarray(xb, np.float64)
+                  @ sym_banded.astype(np.float64)).astype(np.float32),
+                 name="sym dia spmm")
+
+
+def test_sym_pack_guards(banded, sym_banded):
+    # asymmetric: auto keeps full storage, symmetric=True raises
+    m = DiaMatrix.from_dense(banded)
+    assert not m.sym
+    with pytest.raises(ValueError, match="symmetric"):
+        DiaMatrix.from_dense(banded[:320, :320], symmetric=True)
+    # approximately-but-not-bitwise symmetric must stay full
+    almost = sym_banded + np.triu(
+        np.full_like(sym_banded, 1e-3) * (sym_banded != 0), 1)
+    assert not DiaMatrix.from_dense(almost).sym
+
+
+def test_sym_grad_ties_mirror(sym_banded):
+    # d/dvals through sym storage accumulates BOTH mirror contributions:
+    # the parametrization is the tied upper band, so SGD preserves symmetry
+    m = DiaMatrix.from_dense(sym_banded)
+    x = jnp.asarray(generators.random_sparse_vector(512, density=0.6,
+                                                    seed=115))
+    g = jnp.asarray(np.random.default_rng(116).normal(
+        size=512).astype(np.float32))
+
+    def loss(vals):
+        mm = DiaMatrix(m.offsets, vals, m.shape, m.nnz, sym=True)
+        return jnp.vdot(mm.spmv(x), g)
+
+    got = jax.grad(loss)(jnp.asarray(m.vals))
+    # closed form: dL/dvals_d[c] = x[c+d] g[c] + x[c-d] g[c+d] (tied)
+    xs = np.asarray(x, np.float64)
+    gs = np.asarray(g, np.float64)
+    n = 512
+    for i, d in enumerate(m.offsets):
+        want = np.zeros(n)
+        want[:n - d] += xs[d:] * gs[:n - d]
+        if d > 0:
+            want[:n - d] += xs[:n - d] * gs[d:]
+        mask = np.asarray(m.vals[i]) != 0
+        np.testing.assert_allclose(np.asarray(got[i])[mask], want[mask],
+                                   atol=1e-4)
+
+
+@pytest.mark.parametrize("partition", ["halo", "n"])
+def test_sym_sharded_matches_oracle(sym_banded, partition):
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    m = DiaMatrix.from_dense(sym_banded)
+    assert m.sym
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    x = generators.random_sparse_vector(512, density=0.5, seed=117)
+    assert_close(dia_spmm_sharded(m, jnp.asarray(x), mesh, partition),
+                 reference.sgemv_cpu(x, sym_banded),
+                 name=f"sym dia sharded [{partition}]")
+    xb = generators.random_sparse_batch(3, 512, density=0.5, seed=118)
+    assert_close(dia_spmm_sharded(m, jnp.asarray(xb), mesh, partition),
+                 (np.asarray(xb, np.float64)
+                  @ sym_banded.astype(np.float64)).astype(np.float32),
+                 name=f"sym dia sharded spmm [{partition}]")
+
+
+def test_sym_save_load(tmp_path, sym_banded):
+    from tpusparse.formats import io
+
+    m = DiaMatrix.from_dense(sym_banded)
+    p = tmp_path / "sym.npz"
+    io.save(p, m)
+    m2 = io.load(p)
+    assert m2.sym and m2.offsets == m.offsets
+    np.testing.assert_array_equal(np.asarray(m2.vals), np.asarray(m.vals))

@@ -37,13 +37,26 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def dia_pack_csr(csr, max_diags: int = 512) -> dict[str, Any]:
+def dia_pack_csr(csr, max_diags: int = 512,
+                 symmetric: bool | str = "auto") -> dict[str, Any]:
     """Pack from ``CsrMatrix`` (CSR of A.T) in O(nnz + k*n).
 
     Raises if the matrix touches more than ``max_diags`` distinct
     diagonals — DIA on scattered structure stores mostly zeros and the
     per-diagonal unrolled loop would bloat the jit; route such matrices
     elsewhere (`auto_format` checks before packing).
+
+    ``symmetric="auto"`` (default) detects BITWISE-symmetric square
+    operators and keeps only the ``d >= 0`` diagonals — the mirror
+    ``vals_{-d}[c] = vals_d[c-d]`` is reconstructed at apply time from
+    the SAME array at a shifted offset. This nearly halves HBM traffic,
+    not just capacity: XLA fuses all terms into one tiled pass, and a
+    tile of ``vals_d`` staged in VMEM serves both of its offset reads
+    (the same mechanism that lets the existing k offset-reads of ``x``
+    cost one stream, measured 1.02x the single-count bytes floor,
+    BENCH.md §Solver). Symmetric operators are the iterative-solver
+    common case (CG/AMG require them). ``False`` forces full storage;
+    ``True`` asserts symmetry and raises if it does not hold bitwise.
     """
     m, n = csr.shape
     r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
@@ -59,50 +72,83 @@ def dia_pack_csr(csr, max_diags: int = 512) -> dict[str, Any]:
         slot = np.searchsorted(offsets, d)
         # duplicates sum, matching every other packer
         np.add.at(vals, (slot, r), csr.values.astype(np.float32))
+
+    sym = False
+    if symmetric and m == n and offsets.size:
+        neg = offsets[offsets < 0]
+        pos = set(int(v) for v in offsets[offsets > 0])
+        mirrored = all(-int(v) in pos for v in neg) and \
+            len(neg) == len(pos)
+        if mirrored:
+            off_l = [int(v) for v in offsets]
+            sym = all(
+                np.array_equal(vals[off_l.index(-dd)][dd:],
+                               vals[off_l.index(dd)][:n - dd])
+                and not vals[off_l.index(-dd)][:dd].any()
+                for dd in sorted(pos))
+        if symmetric is True and not sym:
+            raise ValueError("symmetric=True but the matrix is not "
+                             "bitwise symmetric in DIA layout")
+        if sym:
+            keep = offsets >= 0
+            offsets = offsets[keep]
+            vals = vals[keep]
     return dict(offsets=tuple(int(v) for v in offsets), vals=vals,
-                shape=(m, n), nnz=int(csr.nnz))
+                shape=(m, n), nnz=int(csr.nnz), sym=sym)
 
 
 @jax.tree_util.register_pytree_node_class
 class DiaMatrix:
-    """k diagonals of A as (k, n) dense rows; ``offsets[i] = m_idx - out_idx``."""
+    """k diagonals of A as (k, n) dense rows; ``offsets[i] = m_idx - out_idx``.
 
-    def __init__(self, offsets: tuple, vals: Any, shape, nnz: int):
+    ``sym=True``: only ``d >= 0`` diagonals are stored (square bitwise-
+    symmetric operators); the ``-d`` mirror is the same array read at a
+    shifted offset, ``vals_{-d}[c] = vals_d[c-d]`` — near-half the HBM
+    traffic for the solver-stack common case (see ``dia_pack_csr``).
+    """
+
+    def __init__(self, offsets: tuple, vals: Any, shape, nnz: int,
+                 sym: bool = False):
         self.offsets = tuple(offsets)   # static: aux data, hashable
         self.vals = vals                # (k, n) fp32
         self.shape = shape
         self.nnz = nnz
+        self.sym = bool(sym)
 
     def tree_flatten(self):
-        return ((self.vals,), (self.offsets, self.shape, self.nnz))
+        return ((self.vals,), (self.offsets, self.shape, self.nnz,
+                               self.sym))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (vals,) = children
-        offsets, shape, nnz = aux
-        return cls(offsets, vals, shape, nnz)
+        return cls(aux[0], vals, *aux[1:])
 
     @classmethod
     def _io_rebuild(cls, aux, leaves):
         if len(leaves) != 1:
             raise ValueError(f"{len(leaves)} leaves, expected 1")
+        # len-3 aux: files saved before the symmetric-storage field
         return cls.tree_unflatten(tuple(aux), leaves)
 
     def __repr__(self) -> str:
         return (f"DiaMatrix(shape={self.shape}, nnz={self.nnz}, "
-                f"diags={len(self.offsets)}, "
+                f"diags={len(self.offsets)}{'|sym' if self.sym else ''}, "
                 f"{self.device_bytes() / 1e6:.1f} MB)")
 
     @classmethod
-    def from_csr(cls, csr, max_diags: int = 512) -> "DiaMatrix":
-        return cls(**dia_pack_csr(csr, max_diags=max_diags))
+    def from_csr(cls, csr, max_diags: int = 512,
+                 symmetric: bool | str = "auto") -> "DiaMatrix":
+        return cls(**dia_pack_csr(csr, max_diags=max_diags,
+                                  symmetric=symmetric))
 
     @classmethod
-    def from_dense(cls, a: np.ndarray, max_diags: int = 512) -> "DiaMatrix":
+    def from_dense(cls, a: np.ndarray, max_diags: int = 512,
+                   symmetric: bool | str = "auto") -> "DiaMatrix":
         from tpusparse.formats.csr import CsrMatrix
 
         return cls.from_csr(CsrMatrix.from_dense(np.asarray(a)),
-                            max_diags=max_diags)
+                            max_diags=max_diags, symmetric=symmetric)
 
     def device_bytes(self) -> int:
         return int(np.prod(self.vals.shape)) * 4
@@ -114,12 +160,16 @@ class DiaMatrix:
         for i, d in enumerate(self.offsets):
             c = np.arange(max(0, -d), min(n, m - d), dtype=np.int64)
             a[c + d, c] = vals[i, c]
+            if self.sym and d > 0:
+                a[c, c + d] = vals[i, c]
         return a
 
     def _x_pad(self) -> tuple[int, int]:
         m, n = self.shape
         dmin = min(self.offsets) if self.offsets else 0
         dmax = max(self.offsets) if self.offsets else 0
+        if self.sym:
+            dmin = min(dmin, -dmax)
         return max(0, -dmin), max(0, dmax + n - m)
 
     def spmv(self, x: Any) -> jax.Array:
@@ -133,6 +183,11 @@ class DiaMatrix:
         y = jnp.zeros(n, jnp.float32)
         for i, d in enumerate(self.offsets):
             y = y + self.vals[i] * lax.slice(xp, (d + lo,), (d + lo + n,))
+            if self.sym and d > 0:
+                # mirror diagonal -d: vals_d shifted right by d
+                vp = lax.pad(self.vals[i], jnp.float32(0),
+                             ((d, -d, 0),))
+                y = y + vp * lax.slice(xp, (lo - d,), (lo - d + n,))
         return y
 
     def spmm(self, x: Any) -> jax.Array:
@@ -144,4 +199,9 @@ class DiaMatrix:
         for i, d in enumerate(self.offsets):
             y = y + self.vals[i][None, :] * lax.slice(
                 xp, (0, d + lo), (x.shape[0], d + lo + n))
+            if self.sym and d > 0:
+                vp = lax.pad(self.vals[i], jnp.float32(0),
+                             ((d, -d, 0),))
+                y = y + vp[None, :] * lax.slice(
+                    xp, (0, lo - d), (x.shape[0], lo - d + n))
         return y

@@ -784,6 +784,14 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
       garbage at the global edges multiplies zero coefficients.
     - ``n`` — X replicated, diagonals shard on their column axis; no
       steady-state comm (matches the other formats' ``n`` partition).
+
+    Symmetric storage (``dm.sym``, only ``d >= 0`` kept): the mirror
+    diagonal ``vals_d[c-d]`` crosses the slab edge, so the VALUES get the
+    same treatment as X — one extra ``ppermute`` moving the k x max-offset
+    left-edge strip (still ∝ bandwidth, and zero-masked on shard 0 where
+    the global matrix has no mirror entries; the ring wrap would otherwise
+    deliver real coefficients, unlike the X halo whose garbage meets
+    packer-zeroed coefficients).
     """
     x2d, squeeze = _as_2d(x)
     m, n = dm.shape
@@ -791,10 +799,20 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
     offsets = dm.offsets
     dmin = min(offsets) if offsets else 0
     dmax = max(offsets) if offsets else 0
+    if dm.sym:
+        dmin = min(dmin, -dmax)        # mirrors reach -dmax
     vals = _pad_axis(jnp.asarray(dm.vals), 1, d)      # zero columns
     np_ = vals.shape[1]
     n_loc = np_ // d
     b = x2d.shape[0]
+
+    def mirror_local(vals_loc):
+        """(k, hs + n_loc) local vals with the left-neighbor edge strip
+        prepended (zeros on shard 0), for ``vals_d[c-d]`` mirror reads."""
+        hs = dmax
+        vh = comm.ring_shift(vals_loc[:, -hs:], "n", shift=1)
+        vh = jnp.where(lax.axis_index("n") == 0, 0.0, vh)
+        return jnp.concatenate([vh, vals_loc], axis=1), hs
 
     if partition == "halo":
         if m != n:
@@ -817,10 +835,17 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
             if hr:
                 parts.append(comm.ring_shift(x_loc[:, :hr], "n", shift=-1))
             xp = jnp.concatenate(parts, axis=1) if len(parts) > 1 else x_loc
+            if dm.sym and dmax:
+                vexp, hs = mirror_local(vals_loc)
             y = jnp.zeros((b, n_loc), jnp.float32)
             for i, off in enumerate(offsets):
                 y = y + vals_loc[i][None, :] * lax.slice(
                     xp, (0, off + hl), (b, off + hl + n_loc))
+                if dm.sym and off > 0:
+                    vp = lax.slice(vexp, (i, hs - off),
+                                   (i + 1, hs - off + n_loc))[0]
+                    y = y + vp[None, :] * lax.slice(
+                        xp, (0, hl - off), (b, hl - off + n_loc))
             return y
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
@@ -833,11 +858,18 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
 
         def f(vals_loc, x_full):
             c0 = lax.axis_index("n") * n_loc
+            if dm.sym and dmax:
+                vexp, hs = mirror_local(vals_loc)
             y = jnp.zeros((b, n_loc), jnp.float32)
             for i, off in enumerate(offsets):
                 xs = lax.dynamic_slice_in_dim(x_full, c0 + off + lo, n_loc,
                                               axis=1)
                 y = y + vals_loc[i][None, :] * xs
+                if dm.sym and off > 0:
+                    vp = lax.slice(vexp, (i, hs - off),
+                                   (i + 1, hs - off + n_loc))[0]
+                    y = y + vp[None, :] * lax.dynamic_slice_in_dim(
+                        x_full, c0 - off + lo, n_loc, axis=1)
             return y
 
         y = _shard_map(f, mesh=mesh, check_vma=False,
