@@ -323,6 +323,42 @@ def test_sym_sharded_matches_oracle(sym_banded, partition):
                  name=f"sym dia sharded spmm [{partition}]")
 
 
+def test_sym_widens_auto_routing():
+    # symmetric halves DIA bytes, so the router admits banded structure
+    # at half the per-diagonal fill (0.4 -> 0.2 effective threshold)
+    from tpusparse.formats.auto import auto_format, matrix_stats, \
+        matrix_stats_csr
+
+    rng = np.random.default_rng(120)
+    n = 512
+    a = np.zeros((n, n), dtype=np.float32)
+    ii, jj = np.indices(a.shape)
+    d = ii - jj
+    for off in (0, 1, 5, 33):
+        band = (d == off) & (rng.random((n, n)) < (1.0 if off == 0
+                                                   else 0.25))
+        a[band] = rng.normal(size=int(band.sum())).astype(np.float32)
+    sym = (a + np.tril(a, -1).T).astype(np.float32)
+
+    s = matrix_stats(sym)
+    assert s["diag_sym"]
+    assert matrix_stats_csr(CsrMatrix.from_dense(sym))["diag_sym"]
+    # fill/diag ~ (n + 6*0.25n)/(7n) ~ 0.36: fails the 0.4 full-storage
+    # guard, passes the halved one
+    assert s["nnz"] < 0.4 * s["n_diags"] * n
+    routed = auto_format(sym)
+    assert isinstance(routed, DiaMatrix) and routed.sym
+    assert isinstance(auto_format(CsrMatrix.from_dense(sym)), DiaMatrix)
+
+    # the asymmetric twin at identical fill must NOT get the discount
+    asym = np.array(sym)
+    lower = np.tril(asym, -1)
+    asym = asym - lower + 2.0 * lower            # break bitwise symmetry
+    sa = matrix_stats(asym)
+    assert not sa["diag_sym"]
+    assert not isinstance(auto_format(asym.astype(np.float32)), DiaMatrix)
+
+
 def test_sym_save_load(tmp_path, sym_banded):
     from tpusparse.formats import io
 

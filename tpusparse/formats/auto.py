@@ -67,10 +67,12 @@ def matrix_stats(a: np.ndarray) -> dict[str, Any]:
 
     ii, jj = np.nonzero(mask)
     n_diags = int(np.unique(ii - jj).size)
+    diag_sym = bool(m == n and np.array_equal(a, a.T))
 
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
-                w_global=w_global, w_typical=w_typical, n_diags=n_diags)
+                w_global=w_global, w_typical=w_typical, n_diags=n_diags,
+                diag_sym=diag_sym)
 
 
 def matrix_stats_csr(csr) -> dict[str, Any]:
@@ -97,9 +99,21 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
 
     n_diags = int(np.unique(mi - r).size)
 
+    # bitwise A == A.T in O(nnz log nnz): lexsorted triplets vs the
+    # lexsorted swapped triplets (drives symmetric-DIA admission below)
+    diag_sym = False
+    if m == n:
+        v = csr.values
+        o1 = np.lexsort((r, mi))
+        o2 = np.lexsort((mi, r))
+        diag_sym = bool(np.array_equal(mi[o1], r[o2])
+                        and np.array_equal(r[o1], mi[o2])
+                        and np.array_equal(v[o1], v[o2]))
+
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
-                w_global=w_global, w_typical=w_typical, n_diags=n_diags)
+                w_global=w_global, w_typical=w_typical, n_diags=n_diags,
+                diag_sym=diag_sym)
 
 
 def auto_format(a, *, expect_structured_x: bool = False,
@@ -143,9 +157,16 @@ def auto_format(a, *, expect_structured_x: bool = False,
     # bytes at roofline still beats a slot format running at <25% of
     # its floor rate, the consistent banded-case measurement.
     n_diags = s.get("n_diags", 1 << 30)
+    # Bitwise-symmetric operators store only the d >= 0 diagonals
+    # (formats/dia.py symmetric="auto"), so every byte in the admission
+    # math halves: DIA stays within the same 4x-of-slot-floor margin at
+    # HALF the per-diagonal fill. diag_sym is itself a strong structural
+    # signal (a random matrix is never bitwise symmetric), so loosening
+    # the dense-ish-random fill guard alongside is safe.
+    eff_diags = (n_diags + 1) // 2 if s.get("diag_sym") else n_diags
     if 0 < n_diags <= 512 and \
-            s["nnz"] >= 0.4 * n_diags * min(m, n) and \
-            4 * n_diags * n <= 4.0 * 5 * s["nnz"]:
+            s["nnz"] >= 0.4 * eff_diags * min(m, n) and \
+            4 * eff_diags * n <= 4.0 * 5 * s["nnz"]:
         from tpusparse.formats.dia import DiaMatrix
 
         return DiaMatrix.from_csr(a) if is_csr else DiaMatrix.from_dense(a)
