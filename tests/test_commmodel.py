@@ -148,3 +148,35 @@ def test_model_collectives_match_lowered_dia(mesh8):
     # halo ICI bytes are D- and slab-independent, tiny vs the slab
     assert e.ici_bytes == (hl + hr) * 4
     assert e.efficiency > 0.99
+
+
+def test_model_collectives_match_lowered_dia_sym(mesh8):
+    # symmetric storage: ONE extra ppermute ships the k_half x dmax vals
+    # edge strip (parallel/sparse.py mirror_local); collective kind is
+    # unchanged and the modeled ICI bytes stay bandwidth-proportional
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    rng = np.random.default_rng(4)
+    n = 1024
+    a = np.zeros((n, n), dtype=np.float32)
+    ii, jj = np.indices(a.shape)
+    for off in (0, 1, 3):
+        band = (ii - jj) == off
+        a[band] = rng.normal(size=int(band.sum())).astype(np.float32)
+    a = a + np.tril(a, -1).T
+    dm = DiaMatrix.from_dense(a)
+    assert dm.sym
+    x = generators.random_sparse_vector(n, density=0.5, seed=4)
+    txt = _lowered_text(
+        lambda vals, xx: dia_spmm_sharded(
+            DiaMatrix(dm.offsets, vals, dm.shape, dm.nnz, sym=True),
+            xx, mesh8, "halo"),
+        np.asarray(dm.vals), x)
+    assert "collective_permute" in txt and "all_reduce" not in txt
+    dmax = max(dm.offsets)
+    e = comm_model("halo", m=n, n=n, n_devices=8,
+                   format_bytes=dm.device_bytes(), halo=2 * dmax,
+                   vals_halo=len(dm.offsets) * dmax)
+    assert e.ici_bytes == (2 * dmax + len(dm.offsets) * dmax) * 4
+    assert e.efficiency > 0.95   # toy 12 KB operator; grows with the slab

@@ -61,14 +61,18 @@ class CommEstimate:
 
 def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
                n_devices: int = 8, format_bytes: int | None = None,
-               halo: int = 0, hbm_gbps: float = HBM_GBPS,
+               halo: int = 0, vals_halo: int = 0,
+               hbm_gbps: float = HBM_GBPS,
                ici_gbps: float = ICI_RING_GBPS) -> CommEstimate:
     """Weak-scaling estimate: every chip holds an (m, n) fp32 slab (or
     ``format_bytes`` of a packed format) and the global problem grows with
     ``n_devices``. ``halo`` (elements, hl + hr) sizes the ``halo``
     partition's edge exchange (DIA stencil: ``sum of max|offset| both
     ways``), the only partition whose ICI bytes are independent of BOTH
-    the slab size and D."""
+    the slab size and D. ``vals_halo`` (elements) adds the symmetric-DIA
+    vals edge strip (``k_half * dmax``, one extra ppermute per call,
+    parallel/sparse.py mirror_local) — batch-independent, still ∝
+    bandwidth only."""
     slab = format_bytes if format_bytes is not None else m * n * 4
     compute = slab / (hbm_gbps * 1e9)
     d = n_devices
@@ -91,10 +95,10 @@ def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
     elif partition == "halo":
         # DIA stencil: two ppermutes move only the band edges, then the
         # k shifted FMAs are purely local. Comm ∝ bandwidth, not m or D.
-        ici = int(batch * halo * 4)
+        ici = int((batch * halo + vals_halo) * 4)
         comm = ici / (ici_gbps * 1e9)
         call = compute + comm              # halos precede the local FMAs
-        coll = ("collective-permute",) if halo else ()
+        coll = ("collective-permute",) if (halo or vals_halo) else ()
     else:
         raise ValueError(f"unknown partition {partition!r}")
     comm_s = ici / (ici_gbps * 1e9)
