@@ -359,6 +359,40 @@ def test_sym_widens_auto_routing():
     assert not isinstance(auto_format(asym.astype(np.float32)), DiaMatrix)
 
 
+def test_sym_sharded_wide_band_desym_fallback():
+    # mirror reads reaching past the immediate neighbor slab (dmax=40 >
+    # n_loc=32 at n=256/D=8) cannot ride the single edge-strip ppermute:
+    # the sharded path must materialize full storage and stay correct
+    # (was: silent corruption / trace-time crash)
+    from tpusparse.parallel.mesh import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    rng = np.random.default_rng(121)
+    n = 256
+    a = np.zeros((n, n), dtype=np.float32)
+    ii, jj = np.indices(a.shape)
+    for off in (0, 1, 40):
+        band = (ii - jj) == off
+        a[band] = rng.normal(size=int(band.sum())).astype(np.float32)
+    a = (a + np.tril(a, -1).T).astype(np.float32)
+    m = DiaMatrix.from_dense(a)
+    assert m.sym
+    np.testing.assert_array_equal(m.desym().to_dense(), a)
+    mesh = make_mesh({"n": 8}, jax.devices()[:8])
+    x = generators.random_sparse_vector(n, density=0.6, seed=122)
+    assert_close(dia_spmm_sharded(m, jnp.asarray(x), mesh, "n"),
+                 reference.sgemv_cpu(x, a), name="sym dia sharded wide [n]")
+    with pytest.raises(ValueError, match="band too wide"):
+        dia_spmm_sharded(m, jnp.asarray(x), mesh, "halo")
+
+
+def test_sym_true_rejects_non_square():
+    rect = np.zeros((4, 6), dtype=np.float32)
+    rect[0, 1] = 1.0
+    with pytest.raises(ValueError, match="square"):
+        DiaMatrix.from_dense(rect, symmetric=True)
+
+
 def test_sym_save_load(tmp_path, sym_banded):
     from tpusparse.formats import io
 

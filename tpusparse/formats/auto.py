@@ -67,7 +67,10 @@ def matrix_stats(a: np.ndarray) -> dict[str, Any]:
 
     ii, jj = np.nonzero(mask)
     n_diags = int(np.unique(ii - jj).size)
-    diag_sym = bool(m == n and np.array_equal(a, a.T))
+    # only the DIA admission branch reads diag_sym: skip the O(n^2)
+    # transpose compare unless the matrix is banded-shaped at all
+    diag_sym = bool(m == n and 0 < n_diags <= 512
+                    and np.array_equal(a, a.T))
 
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
@@ -100,9 +103,10 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
     n_diags = int(np.unique(mi - r).size)
 
     # bitwise A == A.T in O(nnz log nnz): lexsorted triplets vs the
-    # lexsorted swapped triplets (drives symmetric-DIA admission below)
+    # lexsorted swapped triplets. Only the DIA admission branch reads it,
+    # so skip the two nnz-scale lexsorts unless the matrix is banded-shaped
     diag_sym = False
-    if m == n:
+    if m == n and 0 < n_diags <= 512:
         v = csr.values
         o1 = np.lexsort((r, mi))
         o2 = np.lexsort((mi, r))

@@ -74,25 +74,30 @@ def dia_pack_csr(csr, max_diags: int = 512,
         np.add.at(vals, (slot, r), csr.values.astype(np.float32))
 
     sym = False
-    if symmetric and m == n and offsets.size:
-        neg = offsets[offsets < 0]
-        pos = set(int(v) for v in offsets[offsets > 0])
-        mirrored = all(-int(v) in pos for v in neg) and \
-            len(neg) == len(pos)
-        if mirrored:
-            off_l = [int(v) for v in offsets]
-            sym = all(
-                np.array_equal(vals[off_l.index(-dd)][dd:],
-                               vals[off_l.index(dd)][:n - dd])
-                and not vals[off_l.index(-dd)][:dd].any()
-                for dd in sorted(pos))
-        if symmetric is True and not sym:
-            raise ValueError("symmetric=True but the matrix is not "
-                             "bitwise symmetric in DIA layout")
-        if sym:
-            keep = offsets >= 0
-            offsets = offsets[keep]
-            vals = vals[keep]
+    if symmetric and m == n:
+        if not offsets.size:
+            sym = True                   # empty operator: trivially sym
+        else:
+            neg = offsets[offsets < 0]
+            pos = set(int(v) for v in offsets[offsets > 0])
+            mirrored = all(-int(v) in pos for v in neg) and \
+                len(neg) == len(pos)
+            if mirrored:
+                off_l = [int(v) for v in offsets]
+                sym = all(
+                    np.array_equal(vals[off_l.index(-dd)][dd:],
+                                   vals[off_l.index(dd)][:n - dd])
+                    and not vals[off_l.index(-dd)][:dd].any()
+                    for dd in sorted(pos))
+            if sym:
+                keep = offsets >= 0
+                offsets = offsets[keep]
+                vals = vals[keep]
+    if symmetric is True and not sym:
+        raise ValueError(
+            "symmetric=True but the matrix is not square bitwise-"
+            "symmetric in DIA layout" if m == n else
+            f"symmetric=True needs a square operator, got {m}x{n}")
     return dict(offsets=tuple(int(v) for v in offsets), vals=vals,
                 shape=(m, n), nnz=int(csr.nnz), sym=sym)
 
@@ -152,6 +157,23 @@ class DiaMatrix:
 
     def device_bytes(self) -> int:
         return int(np.prod(self.vals.shape)) * 4
+
+    def desym(self) -> "DiaMatrix":
+        """Materialize full storage from symmetric storage (no-op when
+        already full). The mirror row is ``vals_{-d}[c] = vals_d[c-d]``;
+        diagonal arrays are small, so the 2x cost is cheap — used by
+        sharded paths when the mirror would reach past the immediate
+        neighbor slab (``dmax > n_loc``)."""
+        if not self.sym:
+            return self
+        vals = jnp.asarray(self.vals)
+        rows = {d: vals[i] for i, d in enumerate(self.offsets)}
+        for i, d in enumerate(self.offsets):
+            if d > 0:
+                rows[-d] = lax.pad(vals[i], jnp.float32(0), ((d, -d, 0),))
+        offs = sorted(rows)
+        return DiaMatrix(tuple(offs), jnp.stack([rows[d] for d in offs]),
+                         self.shape, self.nnz, sym=False)
 
     def to_dense(self) -> np.ndarray:
         m, n = self.shape

@@ -34,7 +34,7 @@ def normalized_adjacency(csr: CsrMatrix, *, add_self_loops: bool = True,
     # entry streams: A[mi[k], r[k]] = v[k]  (CSR of A.T layout, csr.py:86)
     r = np.repeat(np.arange(n, dtype=np.int64), csr.row_nnz)
     mi = csr.col_idx.astype(np.int64)
-    v = csr.values.astype(np.float64).copy()
+    v = csr.values.astype(np.float64)    # astype copies; safe to mutate
 
     if add_self_loops:
         diag = mi == r
@@ -46,8 +46,7 @@ def normalized_adjacency(csr: CsrMatrix, *, add_self_loops: bool = True,
         r = np.concatenate([r, missing])
         v = np.concatenate([v, np.ones(missing.size)])
 
-    deg = np.zeros(n, dtype=np.float64)
-    np.add.at(deg, mi, v)
+    deg = np.bincount(mi, weights=v, minlength=n)
     dinv_sqrt = 1.0 / np.sqrt(np.where(deg > 0, deg, 1.0))
     v = v * dinv_sqrt[mi] * dinv_sqrt[r]
     return CsrMatrix.from_coo(n, n, mi, r, v.astype(dtype))

@@ -796,6 +796,12 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
     x2d, squeeze = _as_2d(x)
     m, n = dm.shape
     d = mesh.shape["n"]
+    if dm.sym and dm.offsets and \
+            max(dm.offsets) > -(-max(n, 1) // d):
+        # the mirror read vals_d[c-d] reaches past the immediate left
+        # neighbor's slab, which the single edge-strip ppermute cannot
+        # serve — materialize full storage (diagonal arrays are small)
+        dm = dm.desym()
     offsets = dm.offsets
     dmin = min(offsets) if offsets else 0
     dmax = max(offsets) if offsets else 0
