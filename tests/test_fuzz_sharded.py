@@ -77,3 +77,40 @@ def test_fuzz_csr_and_bf16_routes():
         assert_close(s.spmv(x), y_ref, name=f"from_csr {m}x{n}")
         sb = SellMatrix.from_dense(a, dtype=jnp.bfloat16)
         assert_close(sb.spmv(x), y_ref, atol=5e-2, name=f"bf16 {m}x{n}")
+
+
+def test_fuzz_dia_sharded_sym():
+    # random symmetric bands, incl. wide offsets that force the desym
+    # fallback (mirror past the neighbor slab) and the halo guard
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.parallel import make_mesh
+    from tpusparse.parallel.sparse import dia_spmm_sharded
+
+    for i in range(4):
+        rng = np.random.default_rng(2000 + i)
+        d = int(rng.choice([2, 4, 8]))
+        n = d * 64 * int(rng.integers(1, 3))
+        n_off = int(rng.integers(1, 5))
+        offs = np.unique(np.concatenate(
+            [[0], rng.integers(1, max(2, n // 2), size=n_off)]))
+        a = np.zeros((n, n), dtype=np.float32)
+        ii, jj = np.indices(a.shape)
+        for off in offs:
+            band = (ii - jj) == off
+            a[band] = rng.normal(size=int(band.sum())).astype(np.float32)
+        sym = bool(rng.integers(0, 2))
+        if sym:
+            a = (a + np.tril(a, -1).T).astype(np.float32)
+        m = DiaMatrix.from_dense(a)
+        if sym:
+            assert m.sym    # mirrored construction must be detected
+        mesh = make_mesh({"n": d}, jax.devices()[:d])
+        x = generators.random_sparse_vector(n, density=0.5, seed=3000 + i)
+        label = f"dia D={d} n={n} offs={offs.tolist()} sym={m.sym}"
+        y = dia_spmm_sharded(m, np.asarray(x), mesh, "n")
+        assert_close(y, reference.sgemv_cpu(x, a), name=label + " [n]")
+        hs = max(max(m.offsets), -min(m.offsets),
+                 max(m.offsets) if m.sym else 0)
+        if hs <= n // d:
+            y = dia_spmm_sharded(m, np.asarray(x), mesh, "halo")
+            assert_close(y, reference.sgemv_cpu(x, a), name=label + " [halo]")
