@@ -46,3 +46,4 @@ from tpusparse.autodiff import (linear_map, linear_map_sharded,  # noqa: F401
                                 trainable_linear, trainable_linear_sharded)
 from tpusparse.prune import (magnitude_prune, nm_prune,  # noqa: F401
                              block_prune)
+from tpusparse.graph import normalized_adjacency  # noqa: F401
