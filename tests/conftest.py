@@ -53,8 +53,6 @@ def assert_close(y, y_ref, atol=1e-3, name="kernel"):
 # Persistent XLA compilation cache: this box has ONE CPU core and the suite
 # compiles ~100 shard_map/interpret programs; warm-cache reruns (the common
 # case for the driver and for local iteration) skip nearly all of it.
-import tempfile  # noqa: E402
+from tpusparse.utils.platform import enable_compile_cache  # noqa: E402
 
-_CACHE = os.path.join(tempfile.gettempdir(), "tpusparse-xla-cache")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+enable_compile_cache()

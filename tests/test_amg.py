@@ -192,3 +192,39 @@ def test_device_put_compressed_identity():
     for k in ("pad", "dense", "ints"):
         np.testing.assert_array_equal(np.asarray(out[k]), tree[k])
     assert out["meta"] == 7
+
+
+def _lattice(r, c):
+    from scipy import sparse as ssp
+
+    tr = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(r, r))
+    tc = ssp.diags([-1.0, 2.0, -1.0], [-1, 0, 1], shape=(c, c))
+    return (ssp.kron(ssp.eye(r), tc) + ssp.kron(tr, ssp.eye(c))).tocsr()
+
+
+def test_detect_grid_narrow_lattices():
+    # review r2: candidate strides had a 2h+2 floor, so a 5000x6 grid
+    # decomposed at c=10 (wrong neighborhoods) and 512x8 not at all
+    from tpusparse.amg import _detect_grid
+
+    assert _detect_grid(_lattice(5000, 6)) == 6
+    assert _detect_grid(_lattice(512, 8)) == 8
+    assert _detect_grid(_lattice(64, 64)) == 64          # wide unchanged
+    assert _detect_grid(_lattice(48, 100)) == 100
+
+
+def test_auto_mode_keeps_thin_lattices_off_block_strips():
+    # review r2: 512x12 passed the bw gate and took 1-D strips
+    # (semicoarsening, 9 CG iters vs 5 greedy). The gate now spots 2-D
+    # structure (detected stride + offset gap). A contiguous narrow band
+    # (no gap) still takes the strip fast path.
+    from scipy import sparse as ssp
+
+    a = _lattice(512, 12).astype(np.float32)
+    amg = smoothed_aggregation(CsrMatrix.from_scipy(a))
+    assert amg.levels[0].kind == "packed", amg.levels[0].kind   # greedy
+
+    band = ssp.diags([np.ones(6143)], [1], shape=(6144, 6144))
+    band = (band + band.T + 4 * ssp.eye(6144)).tocsr().astype(np.float32)
+    amg_band = smoothed_aggregation(CsrMatrix.from_scipy(band))
+    assert amg_band.levels[0].kind == "block", amg_band.levels[0].kind

@@ -91,3 +91,15 @@ def test_batched_low_density_still_mxu_path():
     a = generators.random_sparse_matrix(512, 384, density=0.1, seed=10)
     f = auto_format(a, expect_batch=8)
     assert type(f).__name__ in ("AspMatrix", "TcsrMatrix")
+
+
+def test_near_dense_never_routes_to_dia():
+    # review r2: the widened banded-first rule admitted a 256^2 d=0.9
+    # matrix (511 diagonals, ~2x dense bytes over VPU streams); the
+    # dense-bytes ceiling must keep such matrices on the MXU path
+    from tpusparse.formats.auto import auto_format
+    from tpusparse.formats.dia import DiaMatrix
+    from tpusparse.testing import generators
+
+    rnd = generators.random_sparse_matrix(256, 256, density=0.9, seed=7)
+    assert not isinstance(auto_format(rnd), DiaMatrix)

@@ -156,15 +156,24 @@ def _detect_grid(sp) -> int | None:
     if pos.size == 0:
         return None
     h = _GRID_HALO
-    for c in range(max(int(pos.min()) - h, 2 * h + 2),
-                   int(pos.min()) + h + 1):
+    # Candidates bracket the smallest beyond-halo offset; NO lower floor —
+    # a narrow lattice (C <= 2h+1) is real (review r2: a 5000x6 grid was
+    # mis-decomposed at c=10 and a 512x8 grid not detected at all). The
+    # |a| bound tightens to the balanced residue (c-1)//2 so narrow-c
+    # decompositions stay unique, and among valid candidates the one with
+    # the tightest stencil (min max|a|+max|b|, ties to the larger c) wins
+    # — that favors the true row width over its divisors/neighbors.
+    best = None
+    for c in range(max(int(pos.min()) - h, 2), int(pos.min()) + h + 1):
         if n % c or n // c < 4:
             continue
         b = np.rint(offs / c).astype(np.int64)
         a = offs - b * c
-        if np.abs(a).max() <= h and np.abs(b).max() <= h:
-            return c
-    return None
+        if np.abs(a).max() <= min(h, (c - 1) // 2) and np.abs(b).max() <= h:
+            score = (int(np.abs(a).max() + np.abs(b).max()), -c)
+            if best is None or score < best[0]:
+                best = (score, c)
+    return best[1] if best else None
 
 
 def _apply(op, v):
@@ -432,21 +441,22 @@ def _pack(sp, dense_cutoff: int, square: bool):
     from tpusparse.formats.auto import auto_format
     from tpusparse.formats.rsell import RsellMatrix
     from tpusparse.formats.tcsr import TcsrMatrix
-    from tpusparse.utils import round_up
 
     _dbg(f"  _pack {sp.shape}: converting to CsrMatrix")
     csr = CsrMatrix.from_scipy(sp.astype(np.float32))
     _dbg(f"  _pack {sp.shape}: packing format")
+    from tpusparse.kernels.rsell_spmv import wide_fits
+
     if square:
         fmt = auto_format(csr)
-    elif (round_up(m, 128) + round_up(n, 128) * 8) * 4 <= 96 << 20:
+    elif wide_fits(m, n):
         # prolongators are tall/thin with nnz in a thin band of tiles:
         # RSELL's contiguous chunk stream skips the empty tiles AND keeps
         # the input DMAs statically indexed (pipelined). The alternative
         # tiled carriers pay a per-dynamic-tile DMA-issue floor: TCSR on
         # the 1M-Laplacian prolongator measured 7.3 ms (vs a 57 us byte
         # roofline; BENCH.md §Solver). RSELL's whole-in-VMEM X/Y is
-        # affordable up to its 96 MB raised-limit cap (rsell_spmv.py).
+        # affordable up to the cap wide_fits() shares with the kernel.
         # sort=False: the band IS the locality — the SELL-sigma column
         # sort would scatter it across tiles, and its n-sized unpermute
         # plan is pathological at 1M fine columns.
@@ -552,7 +562,18 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
             # strips semicoarsen one direction and CG iterations blow
             # up 6 -> 61 (measured, 1024^2 Laplacian)
             if n >= 4096 and bw <= 2 * block_size:
-                mode = "block"
+                # thin 2-D lattices pass the bandwidth gate but must NOT
+                # take 1-D strips (semicoarsening: a 512x12 grid measured
+                # 9 CG iters under strips vs 5 greedy — review r2). A
+                # detected row stride plus a GAP in the offset set is 2-D
+                # structure; contiguous narrow bands (chains, ODE
+                # stencils) keep the strip fast path.
+                offs = np.unique(sp.indices - rows)
+                contiguous = offs.size == int(offs.max() - offs.min()) + 1
+                if not contiguous and _detect_grid(sp) is not None:
+                    mode = "greedy"
+                else:
+                    mode = "block"
             else:
                 mode = "greedy"
         shape2d = None

@@ -428,12 +428,9 @@ def main(argv=None) -> int:
     # Persistent compile cache: geometry sweeps and repeated bench runs
     # re-lower the same programs; over the axon tunnel each cold compile is
     # 20-40 s, so warm reruns are the difference between minutes and hours.
-    import tempfile
+    from tpusparse.utils.platform import enable_compile_cache
 
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.join(tempfile.gettempdir(),
-                                   "tpusparse-xla-cache"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
+    enable_compile_cache()
     return args.fn(args)
 
 

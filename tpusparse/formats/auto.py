@@ -166,11 +166,16 @@ def auto_format(a, *, expect_structured_x: bool = False,
     # math halves: DIA stays within the same 4x-of-slot-floor margin at
     # HALF the per-diagonal fill. diag_sym is itself a strong structural
     # signal (a random matrix is never bitwise symmetric), so loosening
-    # the dense-ish-random fill guard alongside is safe.
+    # the dense-ish-random fill guard alongside is safe. The final guard
+    # keeps DIA strictly under dense bytes (with 20% headroom): a small
+    # near-dense matrix can pass the fill + slot-floor tests with ~2x
+    # dense traffic spread over hundreds of shifted VPU streams, where
+    # one MXU matmul is the speed of light (review r2 finding).
     eff_diags = (n_diags + 1) // 2 if s.get("diag_sym") else n_diags
     if 0 < n_diags <= 512 and \
             s["nnz"] >= 0.4 * eff_diags * min(m, n) and \
-            4 * eff_diags * n <= 4.0 * 5 * s["nnz"]:
+            4 * eff_diags * n <= 4.0 * 5 * s["nnz"] and \
+            4 * eff_diags * n <= 0.8 * 4 * m * n:
         from tpusparse.formats.dia import DiaMatrix
 
         return DiaMatrix.from_csr(a) if is_csr else DiaMatrix.from_dense(a)

@@ -43,6 +43,18 @@ _WIDE_VMEM_LIMIT = 8 * 1024 * 1024      # comfort zone: no limit override
 _WIDE_VMEM_CAP = 96 * 1024 * 1024        # hard cap (v5e VMEM is 128 MB)
 
 
+def wide_fits(m: int, n: int, batch: int = 1) -> bool:
+    """True when the wide kernel's whole-in-VMEM X/Y budget admits a
+    (batch, m) x (m, n) product — the SAME formula the kernel enforces
+    below, exported so carrier-choosing callers (amg._pack) cannot
+    drift from it."""
+    from tpusparse.utils import round_up
+
+    need = (batch * round_up(m, _LANES)
+            + round_up(n, _LANES) * batch * _SUB) * 4
+    return need <= _WIDE_VMEM_CAP
+
+
 def _rsell_kernel(cj_ref, ct_ref, idx_ref, val_ref, x_ref, o_ref, *,
                   c: int, batch: int):
     k = pl.program_id(0)

@@ -37,10 +37,14 @@ def enable_compile_cache() -> str:
     multi-kernel programs — an AMG hierarchy compiles one Mosaic kernel
     per level operator and per prolongator — cost minutes cold over the
     axon tunnel (measured 510 s for a 5-level 262k-unknown solve) and
-    ~nothing warm. Returns the cache dir."""
+    ~nothing warm. A user-configured ``jax_compilation_cache_dir`` is
+    respected (no-op). Returns the cache dir in effect."""
     import os
     import tempfile
 
+    existing = jax.config.jax_compilation_cache_dir
+    if existing:
+        return existing
     path = os.path.join(tempfile.gettempdir(), "tpusparse-xla-cache")
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
@@ -72,10 +76,12 @@ def device_put_compressed(tree, *, min_zero_frac: float = 0.6,
                 not _np.issubdtype(arr.dtype, _np.number):
             return jax.device_put(leaf)
         flat = arr.ravel()
-        nz = _np.flatnonzero(flat)
-        if len(nz) > (1.0 - min_zero_frac) * flat.size or \
-                flat.size >= (1 << 31):
+        # cheap gate first: count_nonzero avoids materializing an
+        # nnz-sized int64 index array for leaves that won't compress
+        if _np.count_nonzero(flat) > (1.0 - min_zero_frac) * flat.size \
+                or flat.size >= (1 << 31):
             return jax.device_put(leaf)
+        nz = _np.flatnonzero(flat)
         built = jnp.zeros(flat.size, arr.dtype).at[
             jax.device_put(nz.astype(_np.int32))].set(
             jax.device_put(flat[nz]))
