@@ -228,3 +228,12 @@ def test_auto_mode_keeps_thin_lattices_off_block_strips():
     band = (band + band.T + 4 * ssp.eye(6144)).tocsr().astype(np.float32)
     amg_band = smoothed_aggregation(CsrMatrix.from_scipy(band))
     assert amg_band.levels[0].kind == "block", amg_band.levels[0].kind
+
+
+def test_coarsening_stall_raises_not_densifies():
+    # review r2: a theta that drops every connection left the full-size
+    # matrix at the coarse level and np.linalg.inv(toarray()) followed —
+    # for 1M unknowns that is a ~4 TB host densify. Must refuse loudly.
+    a = _laplacian_2d(96)                     # 9216 > the stall guard
+    with pytest.raises(ValueError, match="stalled"):
+        smoothed_aggregation(CsrMatrix.from_dense(a), theta=0.9)

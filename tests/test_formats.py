@@ -339,3 +339,14 @@ def test_torch_interop():
                   ).astype(np.float32), name="torch->sell")
     with pytest.raises(ValueError, match="2-D"):
         CsrMatrix.from_torch(torch.zeros(3))
+    # bf16/fp16 trained weights (numpy has no bridge for torch bf16;
+    # review r2: this crashed) widen to fp32 on ingest — dense and sparse
+    tb = td.to(torch.bfloat16)
+    want = tb.float().numpy()
+    np.testing.assert_array_equal(
+        CsrMatrix.from_torch(tb).to_dense(), want)
+    np.testing.assert_array_equal(
+        CsrMatrix.from_torch(tb.to_sparse_coo()).to_dense(), want)
+    np.testing.assert_array_equal(
+        CsrMatrix.from_torch(td.to(torch.float16)).to_dense(),
+        td.half().float().numpy())

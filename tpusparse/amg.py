@@ -634,6 +634,15 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
         sp = (p.T @ sp @ p).tocsr()
         _dbg(f"level n={n}: Galerkin product done (next n={sp.shape[0]})")
 
+    if sp.shape[0] > max(4 * coarse_size, 8192):
+        # aggregation stalled (e.g. theta dropped every connection as
+        # weak, or max_levels hit early) — refuse rather than densify +
+        # O(n^3)-invert an arbitrarily large remainder on the host
+        raise ValueError(
+            f"coarsening stalled at n={sp.shape[0]:,} (coarse_size="
+            f"{coarse_size}): every node became a singleton or max_levels"
+            f"={max_levels} ran out. Lower theta (strength threshold), "
+            f"raise max_levels, or raise coarse_size.")
     a_op, fmt_name = _pack(sp, dense_cutoff, square=True)
     levels.append(_Level(a_op, None, None, None, None, sp.shape[0], sp.nnz,
                          fmt_name))

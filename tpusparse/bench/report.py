@@ -114,10 +114,8 @@ def _solver(out, side: int = 1024, k1: int = 16, k2: int = 272):
 
     import jax.numpy as jnp
 
-    from tpusparse.bench.roofline import detect_hbm_gbps, format_bytes
     from tpusparse.bench.runner import chain_device_time
     from tpusparse.formats.csr import CsrMatrix
-    from tpusparse.formats.sell import SellMatrix
     from tpusparse.solve import cg
 
     print(f"## Solver: CG on a 5-point Laplacian, {side * side:,} unknowns "
@@ -137,9 +135,10 @@ def _solver(out, side: int = 1024, k1: int = 16, k2: int = 272):
             vals.append(np.full(r.size, -1.0, np.float32))
     lap = CsrMatrix.from_coo(n, n, np.concatenate(rows),
                              np.concatenate(cols), np.concatenate(vals))
-    # banded at this scale is exactly what the router exists for: SELL's
-    # GLOBAL width pays w slots in every one of the 8192 windows (256 GB
-    # here); RSELL's ragged per-tile widths pay only where the band lives
+    # banded at this scale is exactly what the router exists for: tile/
+    # slot formats pay the (8,128) VREG quantum on every touched tile
+    # (measured 8x bytes + a 36x DMA floor, BENCH.md §Solver); the router
+    # sends this operator to DIA — symmetric, so only d >= 0 stored
     from tpusparse.formats.auto import auto_format
 
     s = auto_format(lap)

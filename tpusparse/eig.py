@@ -124,14 +124,21 @@ def eigsh(a: Any, k: int = 6, *, which: str = "LA", ncv: int | None = None,
 
 def spectrum_bounds(a: Any, *, ncv: int = 32, n: int | None = None,
                     seed: int = 0, safety: float = 1.02):
-    """``(lmin, lmax)`` estimates for a symmetric positive definite
-    operator — EXACT Chebyshev inputs (``solve.chebyshev_preconditioner``)
-    instead of ``estimate_lmax``'s power iteration + guessed ``lmax/30``
-    floor. Bounds are widened by ``safety`` (and ``lmin`` floored at 0)
-    because Ritz values approach the spectrum from INSIDE and Chebyshev
-    bounds must contain it."""
-    evals, _, _ = eigsh(a, k=2, which="BE", ncv=ncv, n=n, seed=seed,
-                        return_vectors=False)
-    lmin = jnp.maximum(evals[0] / safety, 0.0)
-    lmax = evals[-1] * safety
+    """``(lmin, lmax)`` Chebyshev-interval estimates for a symmetric
+    positive definite operator (``solve.chebyshev_preconditioner``).
+
+    Ritz values approach the spectrum from INSIDE, so each end is widened
+    by its Ritz residual ``r = ||A y - θ y||`` before the ``safety``
+    factor: ``λmax <= θ_top + r_top`` is a true containing bound, and the
+    low end — which has NO finite-step certificate (on clustered spectra
+    the smallest Ritz value can sit orders of magnitude above ``λmin``)
+    — degrades gracefully: an unconverged ``r_bot`` pushes ``lmin``
+    toward 0, widening the interval (weaker polynomial, but the
+    preconditioner stays positive definite) instead of excluding
+    spectrum and going indefinite. Converged runs (small ``r``) recover
+    tight bounds; CHECK ``eigsh``'s residuals when tightness matters."""
+    evals, _, resid = eigsh(a, k=2, which="BE", ncv=ncv, n=n, seed=seed,
+                            return_vectors=False)
+    lmax = (evals[-1] + resid[-1]) * safety
+    lmin = jnp.maximum((evals[0] - resid[0]) / safety, lmax * 1e-8)
     return lmin, lmax

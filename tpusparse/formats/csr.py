@@ -178,6 +178,10 @@ class CsrMatrix:
             raise ValueError(f"expected a 2-D tensor, got shape "
                              f"{tuple(t.shape)}")
         t = t.detach()
+        # numpy has no bf16/fp16 bridge for torch tensors; trained weights
+        # are commonly bf16, so widen to fp32 before the host copy
+        if t.dtype in (torch.bfloat16, torch.float16):
+            t = t.float()
         if t.layout == torch.strided:
             return cls.from_dense(t.cpu().numpy())
         if t.layout in (torch.sparse_csr, torch.sparse_csc):
