@@ -237,3 +237,38 @@ def test_coarsening_stall_raises_not_densifies():
     a = _laplacian_2d(96)                     # 9216 > the stall guard
     with pytest.raises(ValueError, match="stalled"):
         smoothed_aggregation(CsrMatrix.from_dense(a), theta=0.9)
+
+
+@pytest.mark.parametrize("mode", ["greedy", "grid"])
+def test_amg_save_load_roundtrip(tmp_path, mode):
+    # the preconditioner is the expensive artifact (setup >> solve);
+    # save/load must reproduce the V-cycle bitwise-or-near and solve
+    # identically across packed-carrier (greedy) and carrier-free (grid)
+    # hierarchies
+    from tpusparse.amg import SmoothedAggregationAMG
+
+    a = _laplacian_2d(48)                     # 2304 unknowns, multi-level
+    amg = smoothed_aggregation(CsrMatrix.from_dense(a), aggregation=mode)
+    p = str(tmp_path / f"amg_{mode}.npz")
+    amg.save(p)
+    back = SmoothedAggregationAMG.load(p)
+
+    assert len(back.levels) == len(amg.levels)
+    for l0, l1 in zip(amg.levels, back.levels):
+        assert (l0.n, l0.nnz, l0.fmt, l0.kind, l0.shape2d) == \
+            (l1.n, l1.nnz, l1.fmt, l1.kind, l1.shape2d)
+    assert (back.theta, back.degree, back.ratio, back.omega) == \
+        (amg.theta, amg.degree, amg.ratio, amg.omega)
+
+    rng = np.random.default_rng(31)
+    b = rng.normal(size=a.shape[0]).astype(np.float32)
+    v0 = np.asarray(amg(jnp.asarray(b)))
+    v1 = np.asarray(back(jnp.asarray(b)))
+    np.testing.assert_allclose(v1, v0, atol=1e-6 * np.abs(v0).max())
+    z, info = back.solve(jnp.asarray(b), tol=1e-5)
+    np.testing.assert_allclose(a @ np.asarray(z), b, atol=1e-3)
+    assert int(info["iters"]) <= 12
+
+    with pytest.raises(ValueError, match="checkpoint"):
+        np.savez(str(tmp_path / "junk.npz"), x=np.zeros(3))
+        SmoothedAggregationAMG.load(str(tmp_path / "junk.npz"))

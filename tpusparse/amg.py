@@ -414,6 +414,91 @@ class SmoothedAggregationAMG:
             jax.device_put(self.coarse_inv, rep),
             self.theta, self.degree, self.ratio, self.omega)
 
+    # -- persistence ---------------------------------------------------
+    def save(self, path) -> None:
+        """Persist the whole hierarchy to one ``.npz``. Setup —
+        aggregation, Galerkin products, packing, tunnel upload: ~13 s at
+        1M unknowns (BENCH.md §AMG) against an 11 ms solve — amortizes
+        across processes; ``load`` restores a solve-ready preconditioner
+        for upload-time only. Packed-format carriers round-trip through
+        ``formats.io.encode``; dense levels, grid/block transfer
+        metadata, and smoother constants ride the manifest. Save the
+        un-sharded hierarchy (``load`` places on the default device;
+        re-apply ``shard(mesh)`` after loading)."""
+        from tpusparse.formats import io as _io
+
+        arrays: dict[str, np.ndarray] = {}
+        man_levels = []
+        for i, lev in enumerate(self.levels):
+            comps = {}
+            for name in ("a", "p", "pt", "dinv"):
+                obj = getattr(lev, name)
+                if obj is None:
+                    comps[name] = ("none",)
+                elif isinstance(obj, (jax.Array, np.ndarray)):
+                    arrays[f"L{i}_{name}"] = np.asarray(obj)
+                    comps[name] = ("arr",)
+                else:
+                    kind, aux_r, dtypes_r, arrs = _io.encode(obj)
+                    for j, a in enumerate(arrs):
+                        arrays[f"L{i}_{name}_{j}"] = a
+                    comps[name] = ("fmt", kind, aux_r, dtypes_r, len(arrs))
+            man_levels.append(dict(
+                n=lev.n, nnz=lev.nnz, fmt=lev.fmt, kind=lev.kind,
+                shape2d=lev.shape2d,
+                lmax=None if lev.lmax is None else float(lev.lmax),
+                comps=comps))
+        manifest = dict(version=1,
+                        params=(float(self.theta), int(self.degree),
+                                float(self.ratio), float(self.omega)),
+                        levels=man_levels)
+        np.savez_compressed(path, manifest=np.asarray(repr(manifest)),
+                            coarse_inv=np.asarray(self.coarse_inv),
+                            **arrays)
+
+    @classmethod
+    def load(cls, path) -> "SmoothedAggregationAMG":
+        """Restore a hierarchy saved by :meth:`save` — see there."""
+        import ast
+
+        from tpusparse.formats import io as _io
+        from tpusparse.utils import device_put_compressed
+
+        z = np.load(path, allow_pickle=False)
+        if "manifest" not in z.files:
+            raise ValueError(f"{path}: not a tpusparse AMG checkpoint")
+        man = ast.literal_eval(str(z["manifest"]))
+        if not isinstance(man, dict) or man.get("version") != 1:
+            raise ValueError(f"{path}: unsupported AMG checkpoint version")
+        levels = []
+        for i, lm in enumerate(man["levels"]):
+            vals = {}
+            for name in ("a", "p", "pt", "dinv"):
+                tag = lm["comps"][name]
+                if tag[0] == "none":
+                    vals[name] = None
+                elif tag[0] == "arr":
+                    vals[name] = jax.device_put(
+                        jnp.asarray(z[f"L{i}_{name}"]))
+                else:
+                    _, kind, aux_r, dtypes_r, n_arr = tag
+                    arrs = [z[f"L{i}_{name}_{j}"] for j in range(n_arr)]
+                    fmt = _io.decode(kind, aux_r, dtypes_r, arrs,
+                                     where=f"{path}[L{i}.{name}]")
+                    # carriers are padding-heavy: compressed upload, as
+                    # in the original _pack
+                    vals[name] = device_put_compressed(fmt)
+            lmax = None if lm["lmax"] is None else jnp.float32(lm["lmax"])
+            shape2d = lm["shape2d"]
+            levels.append(_Level(
+                vals["a"], vals["p"], vals["pt"], vals["dinv"], lmax,
+                lm["n"], lm["nnz"], lm["fmt"], lm["kind"],
+                None if shape2d is None else tuple(shape2d)))
+        th, dg, ra, om = man["params"]
+        return cls(tuple(levels),
+                   jax.device_put(jnp.asarray(z["coarse_inv"])),
+                   th, dg, ra, om)
+
 
 @jax.jit
 def _amg_apply(amg: SmoothedAggregationAMG, r: jnp.ndarray) -> jnp.ndarray:
