@@ -463,6 +463,11 @@ class SmoothedAggregationAMG:
 
         from tpusparse.formats import io as _io
         from tpusparse.utils import device_put_compressed
+        from tpusparse.utils.platform import enable_compile_cache
+
+        # the compressed-upload scatters jit-compile; without the
+        # persistent cache a fresh process pays them cold over the tunnel
+        enable_compile_cache()
 
         z = np.load(path, allow_pickle=False)
         if "manifest" not in z.files:
