@@ -74,3 +74,16 @@ def test_cli_solve_smoke(capsys):
                  "--tol", "1e-4", "--cpu"]) == 0
     out = capsys.readouterr().out
     assert "cg+jacobi" in out and "OK" in out
+
+
+def test_cli_solve_amg_precond_roundtrip(tmp_path, capsys):
+    from tpusparse.cli import main
+
+    p = str(tmp_path / "precond.npz")
+    assert main(["solve", "--side", "24", "--precond", "amg",
+                 "--save-precond", p, "--tol", "1e-4", "--cpu"]) == 0
+    assert "amg saved" in capsys.readouterr().out
+    assert main(["solve", "--side", "24", "--precond", "amg",
+                 "--precond-file", p, "--tol", "1e-4", "--cpu"]) == 0
+    out = capsys.readouterr().out
+    assert "amg load" in out and "cg+amg" in out and "OK" in out

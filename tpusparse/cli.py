@@ -255,11 +255,21 @@ def cmd_solve(args) -> int:
         print(f"spectrum bounds [{float(lmin):.3g}, {float(lmax):.3g}]")
         pstate = (lmin, lmax)
     elif args.precond == "amg":
-        from tpusparse.amg import smoothed_aggregation
+        from tpusparse.amg import (SmoothedAggregationAMG,
+                                   smoothed_aggregation)
 
         t0 = _time.perf_counter()
-        pstate = smoothed_aggregation(csr, degree=args.degree)
-        print(f"amg setup {_time.perf_counter() - t0:.2f}s: {pstate!r}")
+        if args.precond_file:
+            pstate = SmoothedAggregationAMG.load(args.precond_file)
+            print(f"amg load {_time.perf_counter() - t0:.2f}s: {pstate!r}")
+        else:
+            pstate = smoothed_aggregation(csr, degree=args.degree)
+            print(f"amg setup {_time.perf_counter() - t0:.2f}s: {pstate!r}")
+        if args.save_precond:
+            t0 = _time.perf_counter()
+            pstate.save(args.save_precond)
+            print(f"amg saved to {args.save_precond} "
+                  f"({_time.perf_counter() - t0:.2f}s)")
 
     solver = {"cg": _solve.cg, "bicgstab": _solve.bicgstab,
               "gmres": _solve.gmres}[args.solver]
@@ -371,6 +381,12 @@ def main(argv=None) -> int:
                            choices=["none", "jacobi", "chebyshev", "amg"])
             p.add_argument("--degree", type=int, default=2,
                            help="chebyshev/amg-smoother polynomial degree")
+            p.add_argument("--save-precond", default=None, metavar="NPZ",
+                           help="with --precond amg: persist the built "
+                                "hierarchy (amg.save)")
+            p.add_argument("--precond-file", default=None, metavar="NPZ",
+                           help="with --precond amg: load a saved "
+                                "hierarchy instead of building one")
             p.add_argument("--tol", type=float, default=1e-5)
             p.add_argument("--seed", type=int, default=0)
             p.add_argument("--cpu", action="store_true")
