@@ -120,13 +120,24 @@ def linear_map_sharded(fmt: Any, fmt_t: Any, mesh: Any,
     return apply
 
 
+def _signed_idx(f, flat) -> tuple[np.ndarray, np.ndarray]:
+    """``(signed, mask)``: int8 in-window indices with pad slots forced to
+    -1 (a zero pad would alias in-window offset 0 and leak cotangent),
+    plus the live-slot boolean mask."""
+    mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
+    mask[flat] = True
+    mask = mask.reshape(f.vals.shape)
+    return np.where(mask, np.asarray(f.idx), -1).astype(np.int8), mask
+
+
 class _TwinPack:
     """One shared packing pass for the twin-layout trainable paths.
 
     Sorts the CSR first (legal CSR does not guarantee within-row column
     order, and every slot plane below assumes the packer's ranking), then
-    packs both layouts and their live-slot maps ONCE so the single-chip
-    and sharded constructors cannot drift apart on layout decisions.
+    packs both layouts, their live-slot maps, and the signed idx planes
+    ONCE so the single-chip and sharded constructors cannot drift apart
+    on layout decisions (and neither repeats the O(slots) passes).
     """
 
     def __init__(self, csr: CsrMatrix):
@@ -139,14 +150,32 @@ class _TwinPack:
         self.fmt_t = SellMatrix.from_csr(self.csr_t)
         self.flat_f = sell_slot_flat(self.csr, self.fmt.w)
         self.flat_t = sell_slot_flat(self.csr_t, self.fmt_t.w)
+        self.s_f, self.mask_f = _signed_idx(self.fmt, self.flat_f)
+        self.s_t, self.mask_t = _signed_idx(self.fmt_t, self.flat_t)
 
-    def signed_idx(self, f, flat) -> np.ndarray:
-        """int8 in-window indices with pad slots forced to -1 (a zero pad
-        would alias in-window offset 0 and leak cotangent)."""
-        mask = np.zeros(int(np.prod(f.vals.shape)), dtype=bool)
-        mask[flat] = True
-        mask = mask.reshape(f.vals.shape)
-        return np.where(mask, np.asarray(f.idx), -1).astype(np.int8), mask
+
+def _tied_params(pack: "_TwinPack"):
+    """``(params, masks, resync)`` shared by the single-chip and sharded
+    constructors: the tied twin-layout values, their live-slot masks, and
+    the exact re-tie map (transpose-entry i is forward-entry order[i] via
+    csr.transpose's stable counting sort)."""
+    params = {"vals": jnp.asarray(pack.fmt.vals),
+              "vals_t": jnp.asarray(pack.fmt_t.vals)}
+    masks = {"vals": pack.mask_f, "vals_t": pack.mask_t}
+    order = np.argsort(pack.csr.col_idx, kind="stable")
+    t_vals_shape = pack.fmt_t.vals.shape
+    t_map = np.full(int(np.prod(t_vals_shape)), -1, dtype=np.int64)
+    t_map[pack.flat_t] = pack.flat_f[order]
+    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
+    t_live = jnp.asarray(t_map >= 0)
+
+    def resync(p):
+        """Re-derive vals_t from vals exactly (kills accumulated ulp
+        drift); one slot-permutation gather — use sparingly."""
+        vt = jnp.where(t_live, p["vals"].ravel()[t_gather], 0.0)
+        return {"vals": p["vals"], "vals_t": vt.reshape(t_vals_shape)}
+
+    return params, masks, resync
 
 
 def trainable_linear(csr: CsrMatrix):
@@ -200,32 +229,18 @@ def _trainable_from_pack(pack: "_TwinPack"):
     from tpusparse.formats.sell import SellMatrix
     from tpusparse.kernels.sell_grad import sell_dvals_padded
 
-    csr, csr_t = pack.csr, pack.csr_t
     fmt, fmt_t = pack.fmt, pack.fmt_t
-    flat_f, flat_t = pack.flat_f, pack.flat_t
-
-    s_f, mask = pack.signed_idx(fmt, flat_f)
-    s_t, mask_t = pack.signed_idx(fmt_t, flat_t)
-    idx_s, idx_ts = jnp.asarray(s_f), jnp.asarray(s_t)
+    idx_s, idx_ts = jnp.asarray(pack.s_f), jnp.asarray(pack.s_t)
     idx = jnp.asarray(fmt.idx)
     idx_t = jnp.asarray(fmt_t.idx)
-    params = {"vals": jnp.asarray(fmt.vals), "vals_t": jnp.asarray(fmt_t.vals)}
-    masks = {"vals": mask, "vals_t": mask_t}
-    # exact re-tie map: transpose-entry i is forward-entry order[i]
-    # (csr.transpose's stable counting sort)
-    order = np.argsort(csr.col_idx, kind="stable")
-    t_map = np.full(int(np.prod(fmt_t.vals.shape)), -1, dtype=np.int64)
-    t_map[flat_t] = flat_f[order]
-    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
-    t_live = jnp.asarray(t_map >= 0)
+    params, masks, resync = _tied_params(pack)
     # keep only static metadata in the closures — fmt/fmt_t hold host-side
     # numpy copies of vals+idx (~2x format bytes) that params/idx already
     # duplicate on device
     shape, padded, w_f, nnz = fmt.shape, fmt.padded, fmt.w, fmt.nnz
-    shape_t, padded_t, w_t, t_vals_shape = (fmt_t.shape, fmt_t.padded,
-                                            fmt_t.w, fmt_t.vals.shape)
+    shape_t, padded_t, w_t = fmt_t.shape, fmt_t.padded, fmt_t.w
     mp, np_pad = padded
-    del fmt, fmt_t, csr, csr_t, flat_f, flat_t, order, t_map
+    del fmt, fmt_t, pack
 
     def _run(f, v):
         return f.spmv(v) if v.ndim == 1 else f.spmm(v)
@@ -252,12 +267,6 @@ def _trainable_from_pack(pack: "_TwinPack"):
         return {"vals": dvals, "vals_t": dvals_t}, dx
 
     apply.defvjp(fwd, bwd)
-
-    def resync(p):
-        """Re-derive vals_t from vals exactly (kills accumulated ulp
-        drift); one slot-permutation gather — use sparingly."""
-        vt = jnp.where(t_live, p["vals"].ravel()[t_gather], 0.0)
-        return {"vals": p["vals"], "vals_t": vt.reshape(t_vals_shape)}
 
     return apply, params, masks, resync
 
@@ -290,17 +299,17 @@ def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
     # ONE packing pass shared with the single-chip constructor — the pack
     # sorts the CSR first, so the slot planes below line up with the params
     # (an independently rebuilt plane from the caller's UNSORTED csr gave
-    # silently wrong vals gradients)
+    # silently wrong vals gradients). _tied_params gives the shared
+    # params/masks/resync directly — building (and discarding) the whole
+    # single-chip apply here would upload four idx planes for nothing.
     pack = _TwinPack(csr)
-    apply1, params, masks, resync = _trainable_from_pack(pack)
-    del apply1
+    params, masks, resync = _tied_params(pack)
     fmt, fmt_t = pack.fmt, pack.fmt_t
     d = mesh.shape["n"]
 
-    def signed(f, flat, axis):
-        # group-pad the signed plane for shard divisibility with -1 so
-        # padded groups emit zero cotangent
-        s, _ = pack.signed_idx(f, flat)
+    def signed(s, axis):
+        # group-pad the precomputed signed plane for shard divisibility
+        # with -1 so padded groups emit zero cotangent
         pad = -s.shape[axis] % d
         if pad:
             widths = [(0, 0)] * s.ndim
@@ -308,8 +317,8 @@ def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
             s = np.pad(s, widths, constant_values=-1)
         return jnp.asarray(s)
 
-    idx_s = signed(fmt, pack.flat_f, 0)        # shard column groups (axis 0)
-    idx_ts = signed(fmt_t, pack.flat_t, 1)     # shard n-windows (axis 1)
+    idx_s = signed(pack.s_f, 0)        # shard column groups (axis 0)
+    idx_ts = signed(pack.s_t, 1)       # shard n-windows (axis 1)
     w_f, w_t = fmt.w, fmt_t.w
     nb_f, nt_t = fmt.vals.shape[0], fmt_t.vals.shape[1]
     mp, np_pad = fmt.padded
@@ -344,13 +353,19 @@ def trainable_linear_sharded(csr: CsrMatrix, mesh: Any):
         v2 = jnp.atleast_2d(jnp.asarray(v))
         return jnp.pad(v2, ((0, 0), (0, width - v2.shape[1])))
 
+    # hoist the idx uploads and keep only static metadata in the closures
+    # (as in _trainable_from_pack: fmt/fmt_t hold host copies of vals+idx
+    # that params/idx_dev already duplicate on device)
+    idx_dev, idx_t_dev = jnp.asarray(fmt.idx), jnp.asarray(fmt_t.idx)
+    shape_f, padded_f, nnz_f = fmt.shape, fmt.padded, fmt.nnz
+    shape_t, padded_t, nnz_t = fmt_t.shape, fmt_t.padded, fmt_t.nnz
+    del pack, fmt, fmt_t
+
     def _fmt(vals):
-        return SellMatrix(jnp.asarray(fmt.idx), vals, fmt.shape, fmt.padded,
-                          w_f, fmt.nnz)
+        return SellMatrix(idx_dev, vals, shape_f, padded_f, w_f, nnz_f)
 
     def _fmt_t(vals_t):
-        return SellMatrix(jnp.asarray(fmt_t.idx), vals_t, fmt_t.shape,
-                          fmt_t.padded, w_t, fmt_t.nnz)
+        return SellMatrix(idx_t_dev, vals_t, shape_t, padded_t, w_t, nnz_t)
 
     def _primal(p, x):
         return sell_spmm_sharded(_fmt(p["vals"]), x, mesh, "n")

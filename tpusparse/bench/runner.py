@@ -107,7 +107,7 @@ def chain_device_time(
     *args: Any,
     name: str = "chain",
     k1: int = 8,
-    k2: int = 168,
+    k2: int | None = None,
     reps: int = 7,
     bytes_moved: int | None = None,
     flops: int | None = None,
@@ -123,8 +123,19 @@ def chain_device_time(
     median over ``reps`` of the paired slopes (T(k2)-T(k1))/(k2-k1); the
     median pairs each rep's totals so the ~±1 ms tunnel-RTT jitter enters as
     a zero-mean difference (same rationale as ``device_time``'s "median"
-    estimator). Keep (k2-k1) x expected-iteration-time >= ~10 ms.
+    estimator). Keep (k2-k1) x expected-iteration-time >= ~10 ms: with
+    ``k2=None`` and ``bytes_moved`` given, k2 auto-scales so the span
+    carries >= ~10 ms of speed-of-light work (capped at 576 to bound the
+    unrolled chain's compile cost), mirroring ``device_time``; pass k2
+    explicitly for chains whose per-iteration cost bytes can't predict
+    (compute-bound cycles).
     """
+    if k2 is None:
+        est = None if (bytes_moved is None
+                       or jax.default_backend() == "cpu") \
+            else bytes_moved / 819e9
+        k2 = 168 if est is None else int(
+            min(576, max(168, k1 + 10e-3 / max(est, 1e-9))))
     run1, run2 = chain_of(k1), chain_of(k2)
     float(run1(*args))  # compile + sync
     float(run2(*args))
