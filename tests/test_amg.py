@@ -213,6 +213,30 @@ def test_detect_grid_narrow_lattices():
     assert _detect_grid(_lattice(48, 100)) == 100
 
 
+def test_detect_grid_divisor_neighbor_tiebreak():
+    # advisor r2: when (C+1) divides n the max-based score tied and picked
+    # C+1, wrapping aggregates across row boundaries. The sum-based score
+    # (4 for the true C vs 6 for C+1 on a 5-point stencil) resolves it.
+    from tpusparse.amg import _detect_grid
+
+    assert _detect_grid(_lattice(12, 11)) == 11
+    assert _detect_grid(_lattice(16, 15)) == 15
+    assert _detect_grid(_lattice(32, 31)) == 31
+
+
+def test_device_put_compressed_negative_zero_bit_exact():
+    # advisor r2: flatnonzero drops -0.0, rebuilding it as +0.0 — the
+    # compressed upload must be bit-exact for float leaves.
+    from tpusparse.utils import device_put_compressed
+
+    big = np.zeros(600_000, np.float32)
+    big[1::97] = -0.0
+    big[2::101] = 1.5
+    out = np.asarray(device_put_compressed({"a": big})["a"])
+    assert np.signbit(out[1]) and np.signbit(big[1])
+    assert (out.view(np.uint32) == big.view(np.uint32)).all()
+
+
 def test_auto_mode_keeps_thin_lattices_off_block_strips():
     # review r2: 512x12 passed the bw gate and took 1-D strips
     # (semicoarsening, 9 CG iters vs 5 greedy). The gate now spots 2-D

@@ -161,8 +161,12 @@ def _detect_grid(sp) -> int | None:
     # mis-decomposed at c=10 and a 512x8 grid not detected at all). The
     # |a| bound tightens to the balanced residue (c-1)//2 so narrow-c
     # decompositions stay unique, and among valid candidates the one with
-    # the tightest stencil (min max|a|+max|b|, ties to the larger c) wins
-    # — that favors the true row width over its divisors/neighbors.
+    # the tightest stencil wins. Tightness is the SUM of |a|+|b| over all
+    # offsets (ties to the larger c): on a 5-point stencil the true C
+    # scores 4 while C+1 scores 6, so the true row stride wins even when
+    # (C+1) divides n — the max-based score tied there and mis-picked C+1
+    # (advisor r2: 12x11 grids aggregated across row boundaries, costing
+    # one extra CG iteration).
     best = None
     for c in range(max(int(pos.min()) - h, 2), int(pos.min()) + h + 1):
         if n % c or n // c < 4:
@@ -170,7 +174,7 @@ def _detect_grid(sp) -> int | None:
         b = np.rint(offs / c).astype(np.int64)
         a = offs - b * c
         if np.abs(a).max() <= min(h, (c - 1) // 2) and np.abs(b).max() <= h:
-            score = (int(np.abs(a).max() + np.abs(b).max()), -c)
+            score = (int(np.abs(a).sum() + np.abs(b).sum()), -c)
             if best is None or score < best[0]:
                 best = (score, c)
     return best[1] if best else None

@@ -207,6 +207,12 @@ def amg_aggregate(indptr: np.ndarray, indices: np.ndarray,
     if lib is None:
         return None
     n = len(indptr) - 1
+    # The C path takes int32 CSR arrays; nnz >= 2^31 would wrap silently
+    # and corrupt the aggregation (advisor r2). Fall back to the int64
+    # numpy path instead of casting.
+    if n > np.iinfo(np.int32).max or \
+            (len(indptr) and int(indptr[-1]) > np.iinfo(np.int32).max):
+        return None
     indptr = np.ascontiguousarray(indptr, np.int32)
     indices = np.ascontiguousarray(indices, np.int32)
     absdata = np.ascontiguousarray(absdata, np.float64)

@@ -81,7 +81,15 @@ def device_put_compressed(tree, *, min_zero_frac: float = 0.6,
         if _np.count_nonzero(flat) > (1.0 - min_zero_frac) * flat.size \
                 or flat.size >= (1 << 31):
             return jax.device_put(leaf)
-        nz = _np.flatnonzero(flat)
+        if _np.issubdtype(arr.dtype, _np.floating):
+            # bitwise selection: flatnonzero treats -0.0 as zero, which
+            # would rebuild it as +0.0 and break the bit-identity
+            # round-trip contract (advisor r2). Complex dtypes still
+            # normalize -0.0 components (signbit is real-only).
+            nz = _np.flatnonzero((flat != 0)
+                                 | (_np.signbit(flat) & (flat == 0)))
+        else:
+            nz = _np.flatnonzero(flat)
         built = jnp.zeros(flat.size, arr.dtype).at[
             jax.device_put(nz.astype(_np.int32))].set(
             jax.device_put(flat[nz]))
