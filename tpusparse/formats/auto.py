@@ -21,10 +21,13 @@ should route a matrix to the format whose measured regime it falls in
   with kept blocks, each stored dense (MXU tier) or SELL-compressed
   (bytes ∝ in-block nnz) per the tcsr cost model.
 - skewed columns (a few heavy columns force the global SELL width to >= 1.5x
-  the typical column group's need): RSELL — per-tile widths, the measured
+  the typical column group's need) OR window-concentrated nnz (flat SELL's
+  est. bytes >= 3x the 5 B/nnz slot floor — e.g. a defected band, where
+  every column needs the band width in ONE window but flat SELL pays it in
+  all of them; r3 gallery finding): RSELL — per-tile widths, the measured
   skew winner on latency AND bytes — when X and Y fit its whole-in-VMEM
   wide kernel at the expected batch; binned SELL (per-bucket widths,
-  tiled output) otherwise.
+  tiled output) for skew past that budget, TCSR for padding without skew.
 - otherwise: SELL (flat), or AWSP (SELL + activation window-group skip) when
   the caller expects structured activations.
 """
@@ -120,6 +123,82 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
                 diag_sym=diag_sym)
 
 
+def route(m: int, n: int, s: dict[str, Any], *,
+          expect_structured_x: bool = False, expect_batch: int = 1) -> str:
+    """The routing DECISION alone, from statistics — no packing. Returns
+    one of {"dia", "asp", "tcsr", "rsell", "binned", "awsp", "sell"}.
+    ``auto_format`` is this decision plus the matching packer; exposing it
+    separately lets the gallery benchmark and router tests ask "what would
+    you pick" on matrices whose packing costs seconds."""
+    # banded first: when the stored diagonals are mostly FULL (the
+    # structural banded signal — without it a small dense-ish random
+    # matrix "has" every diagonal at low fill) and diagonal storage
+    # (4*k*n bytes, zero-overhead streams) is within ~4x of the slot
+    # formats' nnz-proportional floor (5 B/nnz), nothing tile- or
+    # gather-shaped can beat it — tile formats are CATASTROPHIC on
+    # wide-spread bands (the (8,128) VREG quantum per touched tile;
+    # measured 8x bytes + 36x DMA floor on the 1M Laplacian, and 24x on
+    # the 15-diagonal 175k Galerkin coarse operator that a 1.25x
+    # threshold mis-routed to TCSR — BENCH.md §Solver/§AMG). 4x DIA
+    # bytes at roofline still beats a slot format running at <25% of
+    # its floor rate. Bitwise-symmetric operators store only d >= 0
+    # (formats/dia.py symmetric="auto"), so every byte in the admission
+    # math halves. The final guard keeps DIA strictly under dense bytes
+    # (with 20% headroom): a small near-dense matrix can pass the fill +
+    # slot-floor tests with ~2x dense traffic spread over hundreds of
+    # shifted VPU streams, where one MXU matmul is the speed of light.
+    n_diags = s.get("n_diags", 1 << 30)
+    eff_diags = (n_diags + 1) // 2 if s.get("diag_sym") else n_diags
+    if 0 < n_diags <= 512 and \
+            s["nnz"] >= 0.4 * eff_diags * min(m, n) and \
+            4 * eff_diags * n <= 4.0 * 5 * s["nnz"] and \
+            4 * eff_diags * n <= 0.8 * 4 * m * n:
+        return "dia"
+    # batch: gather formats pay VPU gather work per (slot, batch) element,
+    # so SpMM time is ~B x their bytes-time while dense-tile time is
+    # density-independent; route to dense tiles when B x estimated SELL
+    # bytes exceeds ~1.3x dense bytes (measured B-sweep, BENCH.md)
+    est_sell_bytes = (-(-n // _LANES)) * (-(-m // _LANES)) * \
+        round_up(max(s["w_global"], 8), 8) * _LANES * 5
+    dense_bytes = m * n * 4
+    if expect_batch >= 2 and expect_batch * est_sell_bytes >= 1.3 * dense_bytes:
+        return "tcsr" if s["empty_block_frac"] >= 0.4 else "asp"
+    if s["density"] > 0.65:   # r2 crossover: sell/dense = 0.99x at d=0.7
+        return "asp"
+    if s["empty_block_frac"] >= 0.4:
+        # TCSR rather than plain BSR: it keeps the block skip and adds the
+        # per-tile dense/SELL tier choice, degenerating to BSR tiles exactly
+        # when those are cheaper (formats/tcsr.py cost model)
+        return "tcsr"
+    skew = s["w_typical"] > 0 and s["w_global"] >= 1.5 * s["w_typical"]
+    # flat-SELL padding ratio: its layout pays the global width in EVERY
+    # window of every column, so a matrix whose nnz concentrate in few
+    # windows per column (a band with defects: every column ~65 nnz in one
+    # window, so w_global=67 with NO column skew and NO empty 128^2 blocks
+    # once defects sprinkle every tile) packs to est_sell_bytes far above
+    # the 5 B/nnz slot floor — found by the r3 gallery: 189 MB for a 3 MB
+    # matrix, a ~40x regret the skew rule alone never sees. Per-tile-width
+    # formats (RSELL, TCSR's SELL tier) track the floor instead.
+    pad_ratio = est_sell_bytes / max(5 * s["nnz"], 1)
+    if skew or pad_ratio >= 3.0:
+        # RSELL (per-tile widths) wins skew on BOTH latency and bytes since
+        # the r2 step-geometry work (8192^2 powerlaw d=0.15: rsell 82.6 us
+        # = 4.3x dense vs binned 95.6 us; 39 vs 69 MB — BENCH.md), but its
+        # wide kernel keeps X and Y whole in VMEM; past that budget fall
+        # back to binned (bucketed widths, tiled output) for column skew —
+        # or to TCSR for padding without skew, where binned's column sort
+        # cannot recover anything (all columns look alike) but TCSR's
+        # per-tile SELL tier still tracks the slot floor.
+        mp = round_up(m, _LANES)
+        np2 = round_up(n, _LANES)
+        bb = max(expect_batch, 1)
+        # mirror of the rsell kernel's own wide-path budget check
+        if (mp * bb + np2 * bb * 8) * 4 <= 8 << 20:
+            return "rsell"
+        return "binned" if skew else "tcsr"
+    return "awsp" if expect_structured_x else "sell"
+
+
 def auto_format(a, *, expect_structured_x: bool = False,
                 expect_batch: int = 1,
                 stats: dict[str, Any] | None = None):
@@ -148,85 +227,23 @@ def auto_format(a, *, expect_structured_x: bool = False,
     s = stats or (matrix_stats_csr(a) if is_csr else matrix_stats(a))
 
     m, n = a.shape
-    # banded first: when the stored diagonals are mostly FULL (the
-    # structural banded signal — without it a small dense-ish random
-    # matrix "has" every diagonal at low fill) and diagonal storage
-    # (4*k*n bytes, zero-overhead streams) is within ~4x of the slot
-    # formats' nnz-proportional floor (5 B/nnz), nothing tile- or
-    # gather-shaped can beat it — tile formats are CATASTROPHIC on
-    # wide-spread bands (the (8,128) VREG quantum per touched tile;
-    # measured 8x bytes + 36x DMA floor on the 1M Laplacian, and 24x on
-    # the 15-diagonal 175k Galerkin coarse operator that a 1.25x
-    # threshold mis-routed to TCSR — BENCH.md §Solver/§AMG). 4x DIA
-    # bytes at roofline still beats a slot format running at <25% of
-    # its floor rate, the consistent banded-case measurement.
-    n_diags = s.get("n_diags", 1 << 30)
-    # Bitwise-symmetric operators store only the d >= 0 diagonals
-    # (formats/dia.py symmetric="auto"), so every byte in the admission
-    # math halves: DIA stays within the same 4x-of-slot-floor margin at
-    # HALF the per-diagonal fill. diag_sym is itself a strong structural
-    # signal (a random matrix is never bitwise symmetric), so loosening
-    # the dense-ish-random fill guard alongside is safe. The final guard
-    # keeps DIA strictly under dense bytes (with 20% headroom): a small
-    # near-dense matrix can pass the fill + slot-floor tests with ~2x
-    # dense traffic spread over hundreds of shifted VPU streams, where
-    # one MXU matmul is the speed of light (review r2 finding).
-    eff_diags = (n_diags + 1) // 2 if s.get("diag_sym") else n_diags
-    if 0 < n_diags <= 512 and \
-            s["nnz"] >= 0.4 * eff_diags * min(m, n) and \
-            4 * eff_diags * n <= 4.0 * 5 * s["nnz"] and \
-            4 * eff_diags * n <= 0.8 * 4 * m * n:
-        from tpusparse.formats.dia import DiaMatrix
-
-        return DiaMatrix.from_csr(a) if is_csr else DiaMatrix.from_dense(a)
-    est_sell_bytes = (-(-n // _LANES)) * (-(-m // _LANES)) * \
-        round_up(max(s["w_global"], 8), 8) * _LANES * 5
-    dense_bytes = m * n * 4
-    if expect_batch >= 2 and expect_batch * est_sell_bytes >= 1.3 * dense_bytes:
-        if s["empty_block_frac"] >= 0.4:
-            from tpusparse.formats.tcsr import TcsrMatrix
-
-            return TcsrMatrix.from_csr(a, expect_batch=expect_batch) \
-                if is_csr else TcsrMatrix.from_dense(
-                    a, expect_batch=expect_batch)
-        from tpusparse.kernels.asp_spmv import AspMatrix
-
-        return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
-    if s["density"] > 0.65:   # r2 crossover: sell/dense = 0.99x at d=0.7
-        from tpusparse.kernels.asp_spmv import AspMatrix
-
-        return AspMatrix.from_csr(a) if is_csr else AspMatrix.from_dense(a)
-    if s["empty_block_frac"] >= 0.4:
-        # TCSR rather than plain BSR: it keeps the block skip and adds the
-        # per-tile dense/SELL tier choice, degenerating to BSR tiles exactly
-        # when those are cheaper (formats/tcsr.py cost model)
+    kind = route(m, n, s, expect_structured_x=expect_structured_x,
+                 expect_batch=expect_batch)
+    if kind == "dia":
+        from tpusparse.formats.dia import DiaMatrix as K
+    elif kind == "asp":
+        from tpusparse.kernels.asp_spmv import AspMatrix as K
+    elif kind == "tcsr":
         from tpusparse.formats.tcsr import TcsrMatrix
 
         return TcsrMatrix.from_csr(a, expect_batch=expect_batch) if is_csr \
             else TcsrMatrix.from_dense(a, expect_batch=expect_batch)
-    if s["w_typical"] > 0 and s["w_global"] >= 1.5 * s["w_typical"]:
-        # RSELL (per-tile widths) wins skew on BOTH latency and bytes since
-        # the r2 step-geometry work (8192^2 powerlaw d=0.15: rsell 82.6 us
-        # = 4.3x dense vs binned 95.6 us; 39 vs 69 MB — BENCH.md), but its
-        # wide kernel keeps X and Y whole in VMEM; fall back to binned
-        # (bucketed widths, tiled output) when the batch pushes past that.
-        mp = round_up(m, _LANES)
-        np2 = round_up(n, _LANES)
-        bb = max(expect_batch, 1)
-        # mirror of the rsell kernel's own wide-path budget check
-        if (mp * bb + np2 * bb * 8) * 4 <= 8 << 20:
-            from tpusparse.formats.rsell import RsellMatrix
-
-            return RsellMatrix.from_csr(a) if is_csr \
-                else RsellMatrix.from_dense(a)
-        from tpusparse.formats.binned import BinnedSellMatrix
-
-        return BinnedSellMatrix.from_csr(a) if is_csr \
-            else BinnedSellMatrix.from_dense(a)
-    if expect_structured_x:
-        from tpusparse.formats.awsp import AwspMatrix
-
-        return AwspMatrix.from_csr(a) if is_csr else AwspMatrix.from_dense(a)
-    from tpusparse.formats.sell import SellMatrix
-
-    return SellMatrix.from_csr(a) if is_csr else SellMatrix.from_dense(a)
+    elif kind == "rsell":
+        from tpusparse.formats.rsell import RsellMatrix as K
+    elif kind == "binned":
+        from tpusparse.formats.binned import BinnedSellMatrix as K
+    elif kind == "awsp":
+        from tpusparse.formats.awsp import AwspMatrix as K
+    else:
+        from tpusparse.formats.sell import SellMatrix as K
+    return K.from_csr(a) if is_csr else K.from_dense(a)
