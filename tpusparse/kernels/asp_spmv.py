@@ -49,12 +49,14 @@ def _asp_kernel(win_ref, x_ref, a_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
-def _asp_call(win_ids, x_pad, a_pad, *, block_n: int, interpret: bool):
+def _asp_pallas(win_ids, grid_t, x_pad, a_pad, *, block_n: int,
+                interpret: bool, na_cost: int):
+    """Shared builder: ``grid_t`` is the contraction grid size — a python
+    int (static exact plan) or a traced int32 scalar (device-computed
+    active count, Mosaic dynamic grid bound)."""
     b = x_pad.shape[0]
     n_pad = a_pad.shape[1]
-    na = win_ids.shape[0]
-    grid = (n_pad // block_n, na)
+    grid = (n_pad // block_n, grid_t)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=grid,
@@ -72,12 +74,35 @@ def _asp_call(win_ids, x_pad, a_pad, *, block_n: int, interpret: bool):
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * na * _LANES * n_pad * b,
-            bytes_accessed=na * _LANES * n_pad * a_pad.dtype.itemsize,
+            flops=2 * na_cost * _LANES * n_pad * b,
+            bytes_accessed=na_cost * _LANES * n_pad * a_pad.dtype.itemsize,
             transcendentals=0,
         ),
         interpret=interpret,
     )(win_ids, x_pad, a_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _asp_call(win_ids, x_pad, a_pad, *, block_n: int, interpret: bool):
+    na = win_ids.shape[0]
+    return _asp_pallas(win_ids, na, x_pad, a_pad, block_n=block_n,
+                       interpret=interpret, na_cost=na)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n", "interpret"))
+def _asp_call_dynamic(x_pad, a_pad, *, block_n: int, interpret: bool):
+    """Zero-host-cost dynamic window skip: activity mask, compacted window
+    ids, and count computed on device; the grid's contraction bound is the
+    traced count (see kernels/awsp_spmv.py device_group_plan — same scheme
+    at window granularity). One compile serves every activation pattern —
+    the TPU form of the reference's per-call ``cur_x == 0`` skip
+    (asp.cu:20-27)."""
+    from tpusparse.kernels.awsp_spmv import device_group_plan
+
+    nt = a_pad.shape[0] // _LANES - 1            # real windows
+    plan, k = device_group_plan(x_pad, nt, _LANES)
+    return _asp_pallas(plan, k, x_pad, a_pad, block_n=block_n,
+                       interpret=interpret, na_cost=nt)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -156,30 +181,30 @@ class AspMatrix:
         nt = (self.a_pad.shape[0] - _LANES) // _LANES
         return np.arange(nt, dtype=np.int32)
 
-    def _run(self, x2d, plan: np.ndarray | None = None) -> jax.Array:
+    def _run(self, x2d, plan=None) -> jax.Array:
         xj = jnp.asarray(x2d)
         b = xj.shape[0]
-        # the window plan needs concrete activations; under jit tracing
-        # visit every window (same degenerate case as formats/awsp.py —
-        # warn once, and accept a precomputed static plan instead)
-        if plan is not None:
-            win = np.asarray(plan)
-        elif isinstance(xj, jax.core.Tracer):
-            from tpusparse.formats.awsp import _warn_traced_plan_once
-
-            _warn_traced_plan_once("AspMatrix")
-            win = self._full_plan()
-        else:
-            win = self.plan(np.asarray(x2d))
         mp_tot, np_ = self.a_pad.shape
         xp = jnp.pad(xj, ((0, round_up(max(b, 1), 8) - b),
                           (0, mp_tot - xj.shape[1])))
+        if (plan is None and isinstance(xj, jax.core.Tracer)) \
+                or (isinstance(plan, str) and plan == "device"):
+            # device-side dynamic skip (see _asp_call_dynamic): no host
+            # round-trip, one compile for every activation pattern
+            y = _asp_call_dynamic(xp, jnp.asarray(self.a_pad),
+                                  block_n=self.block_n,
+                                  interpret=default_interpret())
+            return y[:b, :self.shape[1]]
+        win = self.plan(np.asarray(x2d)) if plan is None else np.asarray(plan)
         y = _asp_call(jnp.asarray(win), xp, jnp.asarray(self.a_pad),
                       block_n=self.block_n, interpret=default_interpret())
         return y[:b, :self.shape[1]]
 
-    def spmv(self, x, plan: np.ndarray | None = None) -> jax.Array:
+    def spmv(self, x, plan=None) -> jax.Array:
+        """``plan``: None (host-exact plan for concrete x, device-dynamic
+        under jit tracing), a precomputed ``self.plan(x)`` array, or
+        ``"device"`` to force the dynamic path."""
         return self._run(jnp.asarray(x)[None, :], plan=plan)[0]
 
-    def spmm(self, x, plan: np.ndarray | None = None) -> jax.Array:
+    def spmm(self, x, plan=None) -> jax.Array:
         return self._run(jnp.asarray(x), plan=plan)

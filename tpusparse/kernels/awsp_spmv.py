@@ -29,6 +29,17 @@ points there, so an all-zero X still has a valid (one-step, zero-result)
 grid. Plans are otherwise EXACT-sized — Mosaic re-issues DMAs for
 dynamically-indexed blocks even when the index repeats, so zero-group
 padding entries would cost real traffic (measured at full-matrix bytes).
+
+Dynamic activations (``awsp_spmm_dynamic``): the reference's headline
+kernels skip x==0 work per-call with zero host preprocessing
+(asp.cu:20-27, awsp.cu:95-107). The TPU equivalent here exploits Mosaic's
+dynamic grid bounds: the group-activity mask, the compacted active-id
+list, AND the active count are computed on device by XLA ops fused around
+the kernel, and the grid's contraction dimension is the *traced* count —
+so only active groups are visited, nothing syncs to the host, and one
+compile serves every activation pattern. The full-length plan's inactive
+tail is never read (the grid stops at k), so the exact-size law above is
+not violated.
 """
 
 from __future__ import annotations
@@ -73,23 +84,17 @@ def _awsp_kernel(win_ref, idx_ref, val_ref, x_ref, o_ref, *, w: int,
                   jj * _LANES:(jj + 1) * _LANES] += acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("w", "g", "jb", "interpret"))
-def awsp_spmm_padded(
-    win: jax.Array,      # (na,) int32 active-group ids; pads point at ng
-    idx: jax.Array,      # (nb, (ng + 1) * G, W, 128) int8 — last group zero
-    vals: jax.Array,     # (nb, (ng + 1) * G, W, 128) — last group zero
-    x: jax.Array,        # (B, (ng + 1) * G * 128) — last group zero
-    *,
-    w: int,
-    g: int,
-    jb: int | None = None,
-    interpret: bool | None = None,
-) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
+def _awsp_call(win, grid_t, idx, vals, x, *, w: int, g: int,
+               jb: int | None, interpret: bool | None, na_cost: int):
+    """Shared pallas_call builder. ``grid_t`` is the contraction grid size:
+    a python int (static exact-sized plan) or a traced int32 scalar (the
+    device-computed active count — Mosaic dynamic grid bound). ``na_cost``
+    is the static step count the CostEstimate assumes (the plan length, or
+    the group count as an upper bound for the dynamic path)."""
     if interpret is None:
         interpret = default_interpret()
     nb = vals.shape[0]
     b = x.shape[0]
-    na = win.shape[0]
     from tpusparse.tune import _snap, blocks_per_step
 
     if jb is None:
@@ -104,7 +109,7 @@ def awsp_spmm_padded(
         jb = _snap(jb, nb)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(nb // jb, na),
+        grid=(nb // jb, grid_t),
         in_specs=[
             pl.BlockSpec((jb, g, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
             pl.BlockSpec((jb, g, w, _LANES), lambda j, t, win: (j, win[t], 0, 0)),
@@ -121,10 +126,64 @@ def awsp_spmm_padded(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * nb * na * g * w * _LANES * b,
-            bytes_accessed=nb * na * g * w * _LANES
+            flops=2 * nb * na_cost * g * w * _LANES * b,
+            bytes_accessed=nb * na_cost * g * w * _LANES
             * (vals.dtype.itemsize + 1),
             transcendentals=0,
         ),
         interpret=interpret,
     )(win, idx, vals, x)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "g", "jb", "interpret"))
+def awsp_spmm_padded(
+    win: jax.Array,      # (na,) int32 active-group ids; pads point at ng
+    idx: jax.Array,      # (nb, (ng + 1) * G, W, 128) int8 — last group zero
+    vals: jax.Array,     # (nb, (ng + 1) * G, W, 128) — last group zero
+    x: jax.Array,        # (B, (ng + 1) * G * 128) — last group zero
+    *,
+    w: int,
+    g: int,
+    jb: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
+    na = win.shape[0]
+    return _awsp_call(win, na, idx, vals, x, w=w, g=g, jb=jb,
+                      interpret=interpret, na_cost=na)
+
+
+def device_group_plan(x: jax.Array, ng: int,
+                      span: int) -> tuple[jax.Array, jax.Array]:
+    """Device-side activation plan: ``(plan, k)`` where ``plan`` is the
+    (ng,)-length active-first compaction of group ids (inactive tail set to
+    the zero group ``ng``) and ``k`` is the traced active count, clamped to
+    >= 1 so an all-zero X still runs the one zero-group step. The whole
+    thing is a handful of VPU ops over X's bytes — the skip decision the
+    reference makes per-element in-kernel (asp.cu:20-27), made per-group
+    by XLA with no host round-trip."""
+    rows = ng * span
+    act = (x[:, :rows] != 0).reshape(x.shape[0], ng, span).any(axis=(0, 2))
+    count = jnp.sum(act).astype(jnp.int32)
+    ids = jnp.argsort(~act).astype(jnp.int32)     # stable: active ids first
+    plan = jnp.where(jnp.arange(ng) < count, ids, ng).astype(jnp.int32)
+    return plan, jnp.maximum(count, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("w", "g", "jb", "interpret"))
+def awsp_spmm_dynamic(
+    idx: jax.Array,      # (nb, (ng + 1) * G, W, 128) int8 — last group zero
+    vals: jax.Array,     # (nb, (ng + 1) * G, W, 128) — last group zero
+    x: jax.Array,        # (B, (ng + 1) * G * 128) — last group zero
+    *,
+    w: int,
+    g: int,
+    jb: int | None = None,
+    interpret: bool | None = None,
+) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
+    """Zero-host-cost dynamic activation skip (module docstring): plan and
+    active count computed on device, grid bound by the traced count. One
+    compile serves every activation pattern of this layout."""
+    ng = vals.shape[1] // g - 1
+    plan, k = device_group_plan(x, ng, g * _LANES)
+    return _awsp_call(plan, k, idx, vals, x, w=w, g=g, jb=jb,
+                      interpret=interpret, na_cost=ng)
