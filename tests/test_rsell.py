@@ -112,3 +112,23 @@ def test_rsell_sharded_batch():
     y_ref = np.stack([reference.sgemv_cpu(xb[i], a) for i in range(4)])
     assert_close(rsell_spmm_sharded(sh, xb, mesh), y_ref,
                  name="rsell sharded b=4")
+
+
+def test_rsell_sharded_contiguous():
+    """'contiguous' assignment: no demand sort, no output permutation
+    (perm_plan is None — the unpermute plan's one-hot masks are O(n^2/128)
+    bytes, which the sharded-AMG carrier cannot afford at level sizes)."""
+    m, n = 512, 640
+    a = generators.random_sparse_matrix(m, n, density=0.15, seed=77)
+    x = generators.random_sparse_vector(m, density=0.5, seed=77)
+    y_ref = reference.sgemv_cpu(x, a)
+    mesh = make_mesh({"n": 8})
+    sh = rsell_shard_pack(a, 8, assignment="contiguous")
+    assert sh.perm_plan is None
+    assert_close(rsell_spmm_sharded(sh, x, mesh), y_ref,
+                 name="rsell sharded contiguous")
+    # batch path slices the same way
+    xb = generators.random_sparse_batch(3, m, density=0.5, seed=78)
+    y_refb = np.stack([reference.sgemv_cpu(xb[i], a) for i in range(3)])
+    assert_close(rsell_spmm_sharded(sh, xb, mesh), y_refb,
+                 name="rsell sharded contiguous b=3")

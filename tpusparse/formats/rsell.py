@@ -317,10 +317,18 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
       densest columns (maximal per-shard width spread: each shard pays its
       OWN width, the chip-level analog of AWSP-Ref's per-warp max,
       awsp_ref.cpp:25-40).
+    - ``contiguous``: shard d takes columns [d*cps, (d+1)*cps) in original
+      order, NO demand sort and NO output permutation (``perm_plan`` is
+      None; ``sort`` is ignored). The unpermute plan's one-hot masks are
+      O(n^2/128) bytes — fine at the 8k-column SpMV scale, impossible at
+      AMG-level sizes — so this mode is the carrier for sharded greedy
+      AMG hierarchies (amg.setup(mesh=...)), whose near-uniform Galerkin
+      operators don't need demand balancing.
 
     No divisibility requirements: trailing shards take empty columns, and
     chunk lists pad with zero chunks to the max shard length. The output
-    is reassembled with one static column permutation (kernels/permute.py).
+    is reassembled with one static column permutation (kernels/permute.py),
+    except ``contiguous``, which is already in order.
     """
     from tpusparse.formats.csr import (CsrMatrix, col_window_widths,
                                        csr_rows_subset)
@@ -330,7 +338,9 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
         CsrMatrix.from_dense(np.asarray(csr_or_dense))
     m, n = csr.shape
     mp, np_ = round_up(m, _LANES), round_up(n, _LANES)
-    if sort == "auto":
+    if assignment == "contiguous":
+        sort = False
+    elif sort == "auto":
         cw = col_window_widths(csr)
         med = float(np.median(cw)) if cw.size else 0.0
         sort = med > 0 and int(cw.max()) >= 1.5 * med
@@ -350,7 +360,9 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
         d = np.where(cyc < n_shards, cyc, 2 * n_shards - 1 - cyc)
         slot = k // n_shards
         assign[d, slot] = order
-    elif assignment == "sorted":
+    elif assignment in ("sorted", "contiguous"):
+        # contiguous: order is the identity (sort forced off above), so
+        # shard d holds columns [d*cps, (d+1)*cps) and needs no unpermute
         padded = np.concatenate(
             [order, np.full(total - np_, np_, dtype=np.int64)])
         assign = padded.reshape(n_shards, cps)
@@ -375,12 +387,15 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
 
     # one column-granular unpermute: original column c sits at flat output
     # lane d * cps + slot where assign[d, slot] == c
-    flat = assign.ravel()
-    real = flat < np_
-    pos_of = np.empty(np_ + 1, dtype=np.int64)
-    pos_of[flat[real]] = np.flatnonzero(real)
-    pp = permute_plan(pos_of[:n], src_size=total)
-    perm_plan = (pp["oidx"], pp["oh"])
+    if assignment == "contiguous":
+        perm_plan = None        # identity placement, O(n^2/128) plan skipped
+    else:
+        flat = assign.ravel()
+        real = flat < np_
+        pos_of = np.empty(np_ + 1, dtype=np.int64)
+        pos_of[flat[real]] = np.flatnonzero(real)
+        pp = permute_plan(pos_of[:n], src_size=total)
+        perm_plan = (pp["oidx"], pp["oh"])
     group_map = (assign[:, ::_LANES] // _LANES).astype(np.int32)  # info only
     return RsellShards(cj_s, ct_s, idx_s, val_s, group_map,
                        (m, n), (mp, np_), int(csr.nnz), counts, w_shard,

@@ -235,7 +235,11 @@ def rsell_spmm_sharded(shards, x: Any, mesh: Mesh) -> jax.Array:
 
     # concat order is (shard, local column); the pack built ONE static
     # column permutation covering both the shard placement and any
-    # pack-time demand sort — undo it with the permute kernel
+    # pack-time demand sort — undo it with the permute kernel. Contiguous
+    # shards (perm_plan None, e.g. sharded-AMG carriers) are already in
+    # order and just slice off the shard padding.
+    if shards.perm_plan is None:
+        return (y[0] if squeeze else y)[..., :shards.shape[1]]
     from tpusparse.kernels.permute import apply_permutation
 
     y = apply_permutation(y, shards.perm_plan, shards.shape[1])
