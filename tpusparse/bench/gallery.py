@@ -46,14 +46,9 @@ _DENSE_CAP_BYTES = 320 << 20   # upload budget for dense baselines (~2 min
 
 
 def run_id() -> str:
-    """Stamp identifying one bench session: device kind + wall date-hour.
-    Recorded on every JSON row so BENCH.md tables can say which numbers
-    came from the same session (VERDICT r2 weak #5: cross-run drift was
-    untraceable)."""
-    import jax
+    from tpusparse.bench.runner import run_id as _rid
 
-    kind = getattr(jax.devices()[0], "device_kind", "cpu").replace(" ", "")
-    return f"{kind}-{time.strftime('%Y%m%d-%H%M')}"
+    return _rid()
 
 
 # --------------------------------------------------------------------------
@@ -221,6 +216,15 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
         nbytes = format_bytes(fmt)
         r = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
                         bytes_moved=nbytes, nnz=a.nnz)
+        if roofline_fraction(nbytes, r.seconds) > 2.0:
+            # unphysical (>2x spec HBM BW): the small-span slope artifact
+            # (BENCH.md metrology note) — remeasure once with a 2x longer
+            # chain; keep whichever is physical
+            r2 = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
+                             bytes_moved=nbytes, nnz=a.nnz, k2=1152,
+                             estimator="median")
+            if r2.seconds > r.seconds:
+                r = r2
         rows[e["name"]] = dict(us=round(r.seconds * 1e6, 1),
                                mb=round(nbytes / 1e6, 1),
                                roofline=round(
@@ -230,8 +234,9 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
             print(f"  {r} | pack {pack_s:.1f}s", file=sys.stderr)
         del fmt
     best = min(rows, key=lambda k: rows[k]["us"])
-    regret = rows[routed]["us"] / rows[best]["us"] - 1.0 if routed in rows \
-        else float("nan")
+    # 0.1 us floor: a clamped/unphysical row must not zero the denominator
+    regret = rows[routed]["us"] / max(rows[best]["us"], 0.1) - 1.0 \
+        if routed in rows else float("nan")
     rec = dict(run=stamp or run_id(), workload=name, batch=batch,
                m=m, n=n, nnz=a.nnz, density=round(stats["density"], 6),
                note=spec["note"], routed=routed, best=best,

@@ -69,8 +69,18 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
     """sections: subset of {canonical, powerlaw, lowdensity, structured,
     spmm, tcsr, floors, reduced, crossover, training, solver} to run
     (None = all). Lets long runs split across timeouts."""
+    from tpusparse.bench.runner import run_id
+
+    stamp = run_id()
+
     def on(name):
-        return sections is None or name in sections
+        if sections is None or name in sections:
+            return True
+        return False
+
+    def stamped(fn, *a):
+        fn(out, *a) if a else fn(out)
+        print(f"*(run: {stamp})*\n", file=out)
 
     dev = jax.devices()[0]
     hbm = detect_hbm_gbps()
@@ -79,27 +89,27 @@ def main(out=sys.stdout, sections: set[str] | None = None) -> None:
         _header(dev, hbm, out)
 
     if on("canonical"):
-        _canonical(out)
+        stamped(_canonical)
     if on("powerlaw"):
-        _powerlaw(out)
+        stamped(_powerlaw)
     if on("lowdensity"):
-        _lowdensity(out)
+        stamped(_lowdensity)
     if on("structured"):
-        _structured(out)
+        stamped(_structured)
     if on("spmm"):
-        _spmm(out)
+        stamped(_spmm)
     if on("tcsr"):
-        _tcsr(out)
+        stamped(_tcsr)
     if on("floors"):
-        _floors(out)
+        stamped(_floors)
     if on("reduced"):
-        _reduced(out)
+        stamped(_reduced)
     if on("crossover"):
-        _crossover(out)
+        stamped(_crossover)
     if on("training"):
-        _training(out)
+        stamped(_training)
     if on("solver"):
-        _solver(out)
+        stamped(_solver)
 
 
 def _solver(out, side: int = 1024, k1: int = 16, k2: int = 272):

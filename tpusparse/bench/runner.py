@@ -36,6 +36,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def run_id() -> str:
+    """Stamp identifying one bench session: device kind + wall date-hour.
+    Every regenerated table/JSON row carries it so BENCH.md can say which
+    numbers came from the same session (VERDICT r2 weak #5: cross-run
+    drift was untraceable)."""
+    kind = getattr(jax.devices()[0], "device_kind", "cpu").replace(" ", "")
+    return f"{kind}-{time.strftime('%Y%m%d-%H%M')}"
+
+
 @dataclasses.dataclass
 class BenchResult:
     name: str

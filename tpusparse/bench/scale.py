@@ -1,0 +1,190 @@
+"""GB-scale unstructured run: the BASELINE 'large synthetic matrix' config
+taken to >= 1 GB of packed format bytes (VERDICT r2 next-round item 4 —
+every prior unstructured measurement stopped at 8192^2 / 336 MB).
+
+One 262144^2 powerlaw matrix at d ~ 2e-3 (~137 M nnz):
+
+- host generation wall-time (no-densify generator),
+- O(nnz) statistics + the router's pick,
+- converter wall-time (native C++ fast path vs numpy recorded by the
+  converter itself),
+- ONE host->device upload, timed (the axon tunnel moves ~MB/s; this is
+  the dominant one-time cost and is paid once per process by design),
+- SpMV device time via the slope runner (bytes_moved passed so the
+  10 ms-scale kernel gets the median-of-slopes guard) + roofline %,
+- a Krylov-iteration chain (per-iteration device time at scale),
+- a trainable_linear fwd+bwd step (tied twin layouts at GB scale).
+
+Run: ``python -m tpusparse.bench.scale [--m 262144] [--density 2e-3]``.
+Emits one JSON record; small shapes via --m for CPU smoke tests.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _wall(fn, *a, **kw):
+    t0 = time.perf_counter()
+    out = fn(*a, **kw)
+    return out, time.perf_counter() - t0
+
+
+def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
+        train: bool = True,
+        verbose: bool = True, quick: bool = False) -> dict[str, Any]:
+    """``quick``: tiny chains for CPU smoke tests (times meaningless)."""
+    from tpusparse.bench.roofline import format_bytes, roofline_fraction
+    from tpusparse.bench.runner import chain_device_time, device_time, run_id
+    from tpusparse.formats.auto import auto_format, matrix_stats_csr, route
+    from tpusparse.testing import generators
+
+    def log(msg):
+        if verbose:
+            print(msg, file=sys.stderr, flush=True)
+
+    rec: dict[str, Any] = dict(run=run_id(), m=m, n=m, density=density)
+
+    csr, t_gen = _wall(generators.random_sparse_csr, m, m, density,
+                       seed=seed, distribution="powerlaw")
+    rec["nnz"] = int(csr.nnz)
+    rec["gen_s"] = round(t_gen, 1)
+    log(f"generated {csr.nnz:,} nnz in {t_gen:.1f}s")
+
+    stats, t_stats = _wall(matrix_stats_csr, csr)
+    routed = route(m, m, stats)
+    rec["stats_s"] = round(t_stats, 1)
+    rec["routed"] = routed
+    log(f"stats in {t_stats:.1f}s -> routed to {routed}")
+
+    fmt, t_pack = _wall(auto_format, csr, stats=stats)
+    nbytes = format_bytes(fmt)
+    rec["pack_s"] = round(t_pack, 1)
+    rec["format"] = type(fmt).__name__
+    rec["format_gb"] = round(nbytes / 1e9, 3)
+    log(f"packed {type(fmt).__name__}: {nbytes/1e9:.2f} GB in {t_pack:.1f}s")
+
+    # ONE upload, synced by touching a scalar of every leaf
+    def upload():
+        dev = jax.tree_util.tree_map(
+            lambda leaf: jax.device_put(jnp.asarray(leaf)), fmt)
+        for leaf in jax.tree_util.tree_leaves(dev):
+            jnp.asarray(leaf).ravel()[0].block_until_ready()
+        # over the async tunnel only a value fetch truly syncs
+        _ = float(sum(jnp.sum(leaf[..., :1].astype(jnp.float32))
+                      for leaf in jax.tree_util.tree_leaves(dev)))
+        return dev
+
+    dev_fmt, t_up = _wall(upload)
+    rec["upload_s"] = round(t_up, 1)
+    log(f"uploaded once in {t_up:.1f}s "
+        f"({nbytes / 1e6 / max(t_up, 1e-9):.1f} MB/s tunnel)")
+
+    x = np.random.default_rng(seed).uniform(-1, 1, m).astype(np.float32)
+
+    dt_kw = dict(k1=2, k2=5, reps=2) if quick else {}
+    r = device_time(lambda f, xx: f.spmv(xx), dev_fmt, x,
+                    name=f"scale-spmv[{type(fmt).__name__}]",
+                    bytes_moved=nbytes, nnz=csr.nnz, **dt_kw)
+    rec["spmv_us"] = round(r.seconds * 1e6, 1)
+    rec["spmv_roofline"] = round(roofline_fraction(nbytes, r.seconds), 3)
+    rec["spmv_gnnz_s"] = round(csr.nnz / r.seconds / 1e9, 2)
+    log(f"  {r} | roofline {rec['spmv_roofline']:.0%}")
+
+    # Krylov per-iteration cost at scale: a chained spmv+axpy step moves
+    # exactly the memory traffic of one CG iteration minus the dots (a
+    # REAL cg() needs a symmetric operator — a second symmetrized pack +
+    # upload — for no additional information about the format at scale).
+    def chain_of(k):
+        @jax.jit
+        def runk(f, xx):
+            v = xx
+            for _ in range(k):
+                y = f.spmv(v)
+                v = xx + (jnp.sum(y) * 1e-37).astype(xx.dtype)
+                # y has length n=m here (square), feed it back scaled
+                v = v + 1e-6 * y
+            return jnp.sum(v)
+
+        return runk
+
+    rk = chain_device_time(chain_of, dev_fmt,
+                           jax.device_put(jnp.asarray(x)),
+                           name="scale-iter", bytes_moved=nbytes,
+                           k1=2 if quick else 4,
+                           k2=5 if quick else None,
+                           reps=2 if quick else 7)
+    rec["iter_us"] = round(rk.seconds * 1e6, 1)
+    log(f"  per-iteration (spmv+axpy): {rk}")
+
+    if train:
+        try:
+            from tpusparse.autodiff import trainable_linear
+
+            (ap, params), t_tw = _wall(lambda: trainable_linear(csr)[:2])
+            rec["twin_pack_s"] = round(t_tw, 1)
+
+            def chain_tr(k):
+                @jax.jit
+                def runk(p, xx):
+                    v = xx
+                    for _ in range(k):
+                        loss, dp = jax.value_and_grad(
+                            lambda pp: (ap(pp, v) ** 2).sum())(p)
+                        v = xx + (loss * 1e-37).astype(xx.dtype)
+                    return loss
+
+                return runk
+
+            p0 = jax.tree_util.tree_map(
+                lambda l: jax.device_put(jnp.asarray(l)), params)
+            rt = chain_device_time(chain_tr, p0,
+                                   jax.device_put(jnp.asarray(x)),
+                                   name="scale-train-step",
+                                   bytes_moved=3 * nbytes,
+                                   k1=2 if quick else 3,
+                                   k2=4 if quick else None,
+                                   reps=2 if quick else 7)
+            rec["train_us"] = round(rt.seconds * 1e6, 1)
+            log(f"  fwd+bwd step: {rt}")
+        except Exception as e:          # OOM / unsupported at this scale
+            rec["train_error"] = f"{type(e).__name__}: {e}"[:300]
+            log(f"  train step failed: {rec['train_error']}")
+
+    return rec
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--m", type=int, default=262144)
+    p.add_argument("--density", type=float, default=2e-3)
+    p.add_argument("--no-train", action="store_true")
+    p.add_argument("--json", default="BENCH_scale.json")
+    args = p.parse_args(argv)
+    rec = run(m=args.m, density=args.density, train=not args.no_train)
+    if args.json:
+        import os
+        recs = []
+        if os.path.exists(args.json):
+            with open(args.json) as f:
+                recs = json.load(f)
+        recs = [r for r in recs if r.get("m") != rec["m"]]
+        recs.append(rec)
+        with open(args.json, "w") as f:
+            json.dump(recs, f, indent=1)
+    print(json.dumps(rec, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
