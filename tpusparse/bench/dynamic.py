@@ -57,20 +57,24 @@ def _awsp_case(m: int, n: int, d: float, g: int, seed: int = 11):
 
 
 def _x_pool(m: int, ng: int, span: int, live: float, patterns: int,
-            seed: int = 7) -> list[np.ndarray]:
-    """``patterns`` dense-valued X vectors, each live in a DIFFERENT random
-    ``ceil(live*ng)`` subset of the ng activation groups."""
+            seed: int = 7, batch: int = 1) -> list[np.ndarray]:
+    """``patterns`` dense-valued X arrays, each live in a DIFFERENT random
+    ``ceil(live*ng)`` subset of the ng activation groups. ``batch > 1``
+    stacks rows sharing the pattern (structured activation sparsity —
+    e.g. expert-block routing — is structured ACROSS the batch; i.i.d.
+    per-row patterns would union to everything live and no skip exists
+    for any method, the reference's included)."""
     rng = np.random.default_rng(seed)
     k = max(1, int(round(live * ng)))
     pool = []
     for _ in range(patterns):
         groups = rng.choice(ng, size=k, replace=False)
-        x = np.zeros(m, dtype=np.float32)
+        x = np.zeros((batch, m), dtype=np.float32)
         for gi in groups:
             lo = gi * span
-            x[lo:min(lo + span, m)] = rng.uniform(-1.0, 1.0,
-                                                  size=min(span, m - lo))
-        pool.append(x)
+            x[:, lo:min(lo + span, m)] = rng.uniform(
+                -1.0, 1.0, size=(batch, min(span, m - lo)))
+        pool.append(x[0] if batch == 1 else x)
     return pool
 
 
@@ -143,19 +147,24 @@ def _price_host_replan(awsp, x_pool, steps: int = 24) -> float:
 
 
 def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
-             quick=False, verbose=True) -> dict[str, Any]:
+             quick=False, verbose=True, batch=1) -> dict[str, Any]:
     """AWSP serving rows: dynamic vs static-oracle vs full vs dense vs
-    host-replan, one live fraction."""
+    host-replan, one live fraction. ``batch > 1``: the SpMM win-region
+    row — all methods see the same batched pattern-churning X."""
     from tpusparse.kernels.dense import dense_xla
 
     a_dense, awsp = _awsp_case(m, n, d, g)
     ng, span = awsp.n_groups, g * _LANES
-    pool = _x_pool(m, ng, span, live, patterns)
+    pool = _x_pool(m, ng, span, live, patterns, batch=batch)
+
+    def _product(fmt, x, plan):
+        return fmt.spmv(x, plan=plan) if batch == 1 \
+            else fmt.spmm(x, plan=plan)
 
     # correctness gate before paying any chained compile: the dynamic path
     # must match the dense product on the real chip, not just interpret mode
-    y_dyn = np.asarray(jax.device_get(awsp.spmv(jnp.asarray(pool[0]),
-                                                plan="device")))
+    y_dyn = np.asarray(jax.device_get(_product(awsp, jnp.asarray(pool[0]),
+                                               "device")))
     y_ref = pool[0] @ a_dense
     err = float(np.max(np.abs(y_dyn - y_ref)))
     if err > 1e-3:
@@ -177,16 +186,16 @@ def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
     rows: dict[str, Any] = {}
 
     def dyn(fmt, x):
-        return fmt.spmv(x, plan="device")
+        return _product(fmt, x, "device")
 
     rows["dynamic"] = _measure_chain(
-        f"awsp dynamic live={live}", dyn, awsp, pool,
+        f"awsp dynamic live={live} B={batch}", dyn, awsp, pool,
         step_bytes=act_bytes, replicas=reps_act, verbose=verbose, **kw)
 
     static_plan = jnp.asarray(awsp.plan(pool[0]))
 
     def stat(fmt, x):
-        return fmt.spmv(x, plan=static_plan)
+        return _product(fmt, x, static_plan)
 
     rows["static"] = _measure_chain(
         "awsp static-oracle (fixed pattern)", stat, awsp, [pool[0]],
@@ -195,7 +204,7 @@ def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
     full_plan = jnp.asarray(awsp._full_plan())
 
     def full(fmt, x):
-        return fmt.spmv(x, plan=full_plan)
+        return _product(fmt, x, full_plan)
 
     rows["full"] = _measure_chain(
         "awsp full (no skip)", full, awsp, pool,
@@ -209,20 +218,21 @@ def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
         step_bytes=m * n * 4, replicas=max(6, quick and 4 or 10),
         verbose=verbose, **kw)
 
-    replan_s = _price_host_replan(awsp, pool, steps=4 if quick else 24)
-    if verbose:
+    replan_s = _price_host_replan(awsp, pool, steps=4 if quick else 24) \
+        if batch == 1 else None
+    if verbose and replan_s is not None:
         print(f"  host-replan serving loop: {replan_s * 1e3:.1f} ms/step",
               file=sys.stderr)
 
     return dict(
-        kind="awsp", m=m, n=n, d=d, g=g, ng=ng, live=live,
+        kind="awsp", m=m, n=n, d=d, g=g, ng=ng, live=live, batch=batch,
         act_bytes=act_bytes, full_bytes=full_bytes,
         us={k: round(r.seconds * 1e6, 1) for k, r in rows.items()},
         roofline={k: round(roofline_fraction(
             act_bytes if k in ("dynamic", "static") else
             (full_bytes if k == "full" else m * n * 4), r.seconds), 3)
             for k, r in rows.items()},
-        replan_ms=round(replan_s * 1e3, 2),
+        replan_ms=None if replan_s is None else round(replan_s * 1e3, 2),
         err=err,
     )
 
