@@ -360,9 +360,43 @@ def cmd_scaling(args) -> int:
     return 0
 
 
+def cmd_gallery(args) -> int:
+    """Real-topology workload gallery + router-regret benchmark
+    (bench/gallery.py): forwards to its own argv."""
+    from tpusparse.bench.gallery import main as gmain
+
+    return gmain(args.rest)
+
+
+def cmd_dynamic(args) -> int:
+    """Dynamic-activation serving bench (bench/dynamic.py)."""
+    from tpusparse.bench.dynamic import main as dmain
+
+    return dmain(args.rest)
+
+
+def cmd_scale(args) -> int:
+    """GB-scale unstructured run (bench/scale.py)."""
+    from tpusparse.bench.scale import main as smain
+
+    return smain(args.rest)
+
+
 def main(argv=None) -> int:
+    import sys as _sys
+
+    argv = list(_sys.argv[1:] if argv is None else argv)
+    # bench-module passthrough subcommands (own argparse each; argparse
+    # REMAINDER cannot forward leading optionals, so dispatch before it)
+    _fwd = {"gallery": cmd_gallery, "dynamic": cmd_dynamic,
+            "scale": cmd_scale}
+    if argv and argv[0] in _fwd:
+        ns = argparse.Namespace(rest=argv[1:])
+        return _fwd[argv[0]](ns)
     parser = argparse.ArgumentParser(prog="tpusparse")
     sub = parser.add_subparsers(dest="cmd", required=True)
+    for name, fn in _fwd.items():
+        p = sub.add_parser(name, help=fn.__doc__.splitlines()[0])
     for name, fn in [("check", cmd_check), ("bench", cmd_bench),
                      ("headline", cmd_headline), ("profile", cmd_profile),
                      ("scaling", cmd_scaling), ("report", cmd_report),
