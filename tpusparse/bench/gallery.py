@@ -214,6 +214,20 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
         fmt = e["prepare"](a)
         pack_s = time.perf_counter() - t0
         nbytes = format_bytes(fmt)
+        if nbytes > 1.8e9:
+            # bytes-catastrophic pack (e.g. flat/binned SELL window padding
+            # on a stencil): it cannot win — 1.8 GB at roofline is ~2.2 ms
+            # against nnz-proportional formats at ~10 us — and its replica
+            # pool would not fit HBM. Record the disqualification.
+            rows[e["name"]] = dict(us=None, mb=round(nbytes / 1e6, 1),
+                                   roofline=None,
+                                   pack_s=round(pack_s, 2),
+                                   skipped="bytes")
+            if verbose:
+                print(f"  {name}/{e['name']}: SKIPPED "
+                      f"({nbytes/1e9:.1f} GB pack)", file=sys.stderr)
+            del fmt
+            continue
         r = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
                         bytes_moved=nbytes, nnz=a.nnz)
         if roofline_fraction(nbytes, r.seconds) > 2.0:
@@ -233,10 +247,11 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
         if verbose:
             print(f"  {r} | pack {pack_s:.1f}s", file=sys.stderr)
         del fmt
-    best = min(rows, key=lambda k: rows[k]["us"])
+    timed = {k: v for k, v in rows.items() if v["us"] is not None}
+    best = min(timed, key=lambda k: timed[k]["us"])
     # 0.1 us floor: a clamped/unphysical row must not zero the denominator
-    regret = rows[routed]["us"] / max(rows[best]["us"], 0.1) - 1.0 \
-        if routed in rows else float("nan")
+    regret = timed[routed]["us"] / max(timed[best]["us"], 0.1) - 1.0 \
+        if routed in timed else float("nan")
     rec = dict(run=stamp or run_id(), workload=name, batch=batch,
                m=m, n=n, nnz=a.nnz, density=round(stats["density"], 6),
                note=spec["note"], routed=routed, best=best,

@@ -215,6 +215,11 @@ def device_time(
     # that every iteration has its own copy anyway).
     copies = 6 if bytes_moved is None else max(
         6, -(-640_000_000 // max(bytes_moved, 1)))
+    if bytes_moved:
+        # GB-scale formats: the pool must also FIT — cap total replica
+        # residency at ~11 GB of the 16 GB HBM (a 3.8 GB stencil-padded
+        # binned pack OOM'd the default 6-copy pool at 23.5 GB)
+        copies = min(copies, max(2, int(11_000_000_000 // bytes_moved)))
     replicas = _replicate(fmt, min(k2, copies))
     x = jax.device_put(jnp.asarray(x))
     run1 = _chained(fn, k1)
