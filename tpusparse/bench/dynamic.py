@@ -340,13 +340,16 @@ def main(argv=None) -> int:
     p.add_argument("--quick", action="store_true")
     p.add_argument("--json", default="BENCH_dynamic.json")
     p.add_argument("--parts", default="awsp,sweep,asp")
+    p.add_argument("--batch", type=int, default=1,
+                   help="awsp part batch size (records under awsp_b{B})")
     args = p.parse_args(argv)
     from tpusparse.bench.gallery import run_id
 
     out: dict[str, Any] = dict(run=run_id())
     parts = args.parts.split(",")
     if "awsp" in parts:
-        out["awsp"] = run_awsp(quick=args.quick)
+        key = "awsp" if args.batch == 1 else f"awsp_b{args.batch}"
+        out[key] = run_awsp(quick=args.quick, batch=args.batch)
     if "sweep" in parts:
         out["sweep"] = run_awsp_sweep(quick=args.quick)
     if "asp" in parts:
