@@ -680,7 +680,12 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
 
     ``a`` — ``CsrMatrix``, scipy sparse, or dense ndarray (SPD system
     matrix). ``theta`` — strength-of-connection drop tolerance (0 keeps
-    every stored off-diagonal, the standard SA default). ``degree`` —
+    every stored off-diagonal, the standard SA default). On strongly
+    ANISOTROPIC operators raise it: at eps=100 (BENCH.md §AMG-robustness,
+    512^2, measured both orientations) theta=0 converges in 33-42 CG
+    iterations vs 7 isotropic, while theta=0.08 restores 8 iterations by
+    semicoarsening along the strong direction — at ~2.8x operator
+    complexity (1.34 -> 3.7-3.8), the standard SA trade. ``degree`` —
     Chebyshev smoother degree; each V-cycle costs ~``2 * degree + 2``
     SpMVs per level. ``ratio`` — the smoother targets
     ``[lmax/ratio, 1.05 * lmax]`` of ``D⁻¹A`` (the aggressive-smoothing
