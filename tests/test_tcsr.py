@@ -55,10 +55,17 @@ def test_tcsr_spmv_and_bytes(fill):
     assert f.n_sell > 0 and f.n_dense == 0       # fills this low never go dense
 
 
-def test_tcsr_two_tier_split():
+def test_tcsr_two_tier_split(monkeypatch):
     """Mixed fills: near-dense tiles take the dense tier, sparse ones SELL.
-    Sized so the tier split wins under the exact cost model (tiny tier lists
-    fold instead — their missing-group zero tiles outweigh the savings)."""
+
+    The measured split penalty (running both tier kernels costs ~15 us of
+    alternating-dispatch overhead, tcsr._TIER_SPLIT_BYTES) means a 2 MB
+    matrix can never BUY a split — so this test zeroes the penalty to
+    exercise the mixed-tier pack/kernel mechanics, and
+    ``test_tcsr_marginal_split_folds`` asserts the production behavior."""
+    import tpusparse.formats.tcsr as tcsr_mod
+
+    monkeypatch.setattr(tcsr_mod, "_TIER_SPLIT_BYTES", 0)
     rng = np.random.default_rng(7)
     m, n = 512, 1024
     a = np.zeros((m, n), np.float32)
@@ -79,6 +86,20 @@ def test_tcsr_two_tier_split():
     x = generators.random_sparse_vector(m, density=0.5, seed=7)
     assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="tcsr two-tier")
     np.testing.assert_array_equal(f.to_dense(), a)
+
+
+def test_tcsr_marginal_split_folds():
+    """The r3 gallery misroute: blockpruned tiles (50% fill, w_b 72-88)
+    split 261 sell + 57 dense to save 0.8 MB of traffic, but the split
+    itself measured +15 us (37-42 vs 23 us either single tier) — a 104%
+    regret vs BSR. With the measured split charge the pack folds to one
+    tier unless the split saves real megabytes."""
+    a = generators.block_pruned_matrix(1024, 1024, block=128, keep_frac=0.3,
+                                       fill=0.5, seed=5)
+    f = TcsrMatrix.from_dense(a)
+    assert (f.n_sell == 0) != (f.n_dense == 0), (f.n_sell, f.n_dense)
+    x = generators.random_sparse_vector(1024, density=0.5, seed=5)
+    assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="tcsr folded")
 
 
 def test_tcsr_expect_batch_moves_cutoff():

@@ -40,6 +40,16 @@ _SUB = 8
 _SELL_BYTES_PER_W = 5 * _LANES             # fp32 vals + int8 idx per slot-row
 _GATHER_BYTE_EQ_PER_W = 545                # lane-gather floor, byte-equivalents
 _DENSE_TILE_BYTES = _LANES * _LANES * 4
+# Running BOTH tier kernels per call costs a measured ~15 us over either
+# single tier on the same bytes (blockpruned-4096 gallery workload: mixed
+# 261 sell + 57 dense = 37-42 us vs 23 us all-sell or all-dense, 3 trials
+# each) — the alternating-kernel dispatch breaks the back-to-back pipeline
+# each tier enjoys alone. Charged as byte-equivalents at the 819 GB/s
+# roofline, slightly conservative (8 MB ~ 10 us) so a split must BUY its
+# overhead in real traffic before the model accepts it; the r3 gallery
+# misroute (104% regret from a split that saved 0.8 MB) is the case this
+# kills.
+_TIER_SPLIT_BYTES = 8 << 20
 
 
 def _tier_cutoff(w_b: np.ndarray, expect_batch: int,
@@ -72,8 +82,9 @@ def _tier_cutoff(w_b: np.ndarray, expect_batch: int,
 
     def total(cand: int) -> int:
         sel = w_b <= cand
+        split = _TIER_SPLIT_BYTES if (stored(sel) and stored(~sel)) else 0
         return per_w * cand * stored(sel) + \
-            _DENSE_TILE_BYTES * stored(~sel)
+            _DENSE_TILE_BYTES * stored(~sel) + split
 
     best_w = 0
     best_cost = total(0)
