@@ -234,10 +234,15 @@ def test_awsp_prepacked_slabs(mesh8):
                      reference.sgemv_cpu(x, a), name=f"awsp slabs {seed}")
 
 
-def test_tcsr_sharded(mesh8):
-    """Both TCSR tiers sharded by output groups (nb=7: non-divisible)."""
+def test_tcsr_sharded(mesh8, monkeypatch):
+    """Both TCSR tiers sharded by output groups (nb=7: non-divisible).
+    The measured tier-split penalty (tcsr._TIER_SPLIT_BYTES) folds a
+    sub-MB matrix to one tier in production; zero it here to exercise the
+    sharded mixed-tier path."""
+    import tpusparse.formats.tcsr as tcsr_mod
     from tpusparse.parallel.sparse import tcsr_shard_pack, tcsr_spmm_sharded
 
+    monkeypatch.setattr(tcsr_mod, "_TIER_SPLIT_BYTES", 0)
     rng = np.random.default_rng(71)
     a = np.zeros((512, 896), np.float32)                 # nb=7 over 8 devs
     for g in range(7):                                   # per group: 2 dense

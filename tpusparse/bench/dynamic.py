@@ -270,8 +270,13 @@ def run_awsp_sweep(m=4096, n=4096, d=0.5, g=2, lives=(0.0625, 0.25, 0.5,
 
 
 def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
-            verbose=True) -> dict[str, Any]:
-    """ASP (dense A, window-granular skip) dynamic vs full vs static."""
+            verbose=True, batch=1) -> dict[str, Any]:
+    """ASP (dense A, window-granular skip) dynamic vs full vs static.
+
+    ``batch > 1`` is the batched-SpMM win region: ASP's active windows
+    feed the MXU as dense (span, n) blocks, so unlike the gather formats
+    its time is ~B-independent — the dense-tiles-plus-skip carrier the
+    ``expect_batch`` routing law points at."""
     from tpusparse.kernels.asp_spmv import AspMatrix
     from tpusparse.kernels.dense import dense_xla
 
@@ -280,10 +285,14 @@ def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
     a *= rng.uniform(size=(m, n)) < d
     asp = AspMatrix.from_dense(a)
     nt = m // _LANES
-    pool = _x_pool(m, nt, _LANES, live, patterns)
+    pool = _x_pool(m, nt, _LANES, live, patterns, batch=batch)
 
-    y_dyn = np.asarray(jax.device_get(asp.spmv(jnp.asarray(pool[0]),
-                                               plan="device")))
+    def _product(fmt, x, plan):
+        return fmt.spmv(x, plan=plan) if batch == 1 \
+            else fmt.spmm(x, plan=plan)
+
+    y_dyn = np.asarray(jax.device_get(_product(asp, jnp.asarray(pool[0]),
+                                               "device")))
     err = float(np.max(np.abs(y_dyn - pool[0] @ a)))
     if err > 1e-3:
         raise AssertionError(f"asp dynamic wrong on device: max err {err}")
@@ -303,16 +312,16 @@ def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
     rows = {}
 
     def dyn(fmt, x):
-        return fmt.spmv(x, plan="device")
+        return _product(fmt, x, "device")
 
     rows["dynamic"] = _measure_chain(
-        f"asp dynamic live={live}", dyn, asp, pool,
+        f"asp dynamic live={live} B={batch}", dyn, asp, pool,
         step_bytes=act_bytes, replicas=reps_act, verbose=verbose, **kw)
 
     static_plan = asp.plan(pool[0])
 
     def stat(fmt, x):
-        return fmt.spmv(x, plan=static_plan)
+        return _product(fmt, x, static_plan)
 
     rows["static"] = _measure_chain(
         "asp static-oracle", stat, asp, [pool[0]],
@@ -321,14 +330,23 @@ def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
     full_plan = asp._full_plan()
 
     def full(fmt, x):
-        return fmt.spmv(x, plan=full_plan)
+        return _product(fmt, x, full_plan)
 
     rows["full"] = _measure_chain(
         "asp full (no skip)", full, asp, pool,
         step_bytes=full_bytes, replicas=reps_full, verbose=verbose, **kw)
 
-    return dict(kind="asp", m=m, n=n, d=d, live=live, act_bytes=act_bytes,
-                full_bytes=full_bytes,
+    if batch > 1:      # the win-region comparison needs dense under churn
+        def dense_call(fmt, x):
+            return dense_xla(fmt, x)
+
+        rows["dense"] = _measure_chain(
+            f"dense_xla (changing X) B={batch}", dense_call,
+            jnp.asarray(a), pool, step_bytes=full_bytes,
+            replicas=max(6, quick and 4 or 10), verbose=verbose, **kw)
+
+    return dict(kind="asp", m=m, n=n, d=d, live=live, batch=batch,
+                act_bytes=act_bytes, full_bytes=full_bytes,
                 us={k: round(r.seconds * 1e6, 1) for k, r in rows.items()},
                 err=err)
 
@@ -353,7 +371,8 @@ def main(argv=None) -> int:
     if "sweep" in parts:
         out["sweep"] = run_awsp_sweep(quick=args.quick)
     if "asp" in parts:
-        out["asp"] = run_asp(quick=args.quick)
+        key = "asp" if args.batch == 1 else f"asp_b{args.batch}"
+        out[key] = run_asp(quick=args.quick, batch=args.batch)
     if args.json:
         old = {}
         if os.path.exists(args.json):

@@ -85,6 +85,10 @@ WORKLOADS: dict[str, dict[str, Any]] = {
                                                         eps=100.0,
                                                         eps_axis=1),
                          "262144-unknown anisotropic diffusion, eps=100"),
+    "stencil2d-64": _w(lambda: generators.stencil_csr((64, 64)),
+                       "4096-unknown 2D 5-point Poisson: the one stencil "
+                       "small enough for a measured dense baseline — the "
+                       "direct DIA-vs-dense row (incl. batched SpMM)"),
     # perturbed banded (must NOT route to pure DIA)
     "banded-defects-8192": _w(
         lambda: generators.banded_defects_csr(8192, bandwidth=32,
