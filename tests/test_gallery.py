@@ -64,6 +64,33 @@ def test_route_block_pruned_to_tcsr():
     assert _route_of(a, batch=32) == "tcsr"
 
 
+def test_route_batch_uses_routed_bytes_not_flat_sell():
+    """r3 fix: the batch flip must compare B x the bytes the B=1 routing
+    would ACTUALLY move (per-tile-width storage on skew), not flat SELL's
+    hub-inflated global padding — which flipped a d~0.002 hub graph at
+    B=8 into densifying 268 MB while RSELL at B=8 still beat dense."""
+    g = generators.rmat_csr(13, 16, seed=1)
+    assert _route_of(g, batch=1) == "rsell"
+    assert _route_of(g, batch=8) == "rsell"      # 8 x ~20 MB << 1.3 x dense
+    assert _route_of(g, batch=32) == "asp"       # 32 x crosses the law
+
+
+def test_route_batch_win_region():
+    """The measured SpMM win-region picks (BENCH.md §SpMM-wins): banded ->
+    DIA at every batch (B-independent shifted streams); block-pruned ->
+    TCSR, whose tier model goes all-dense-tier (MXU, B-independent) as B
+    grows; N:M-pruned -> dense tiles + activation skip at batch."""
+    st = generators.stencil_csr((64, 64))
+    for b in (1, 8, 32):
+        assert _route_of(st, batch=b) == "dia"
+    bp = generators.block_pruned_matrix(1024, 1024, block=128,
+                                        keep_frac=0.3, fill=0.5, seed=5)
+    for b in (8, 32):
+        assert _route_of(bp, batch=b) == "tcsr"
+    nm = generators.nm_pruned_matrix(1024, 1024, 2, 4, seed=7)
+    assert _route_of(nm, batch=8) == "asp"
+
+
 def test_candidates_gate_hub_width_and_density():
     g = generators.rmat_csr(13, 16, seed=1)   # the gallery-scale instance
     s = matrix_stats_csr(g)

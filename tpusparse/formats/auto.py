@@ -68,6 +68,16 @@ def matrix_stats(a: np.ndarray) -> dict[str, Any]:
     w_global = int(col_w.max()) if col_w.size else 0
     w_typical = float(np.median(col_w)) if col_w.size else 0.0
 
+    # per-TILE width demand -> what a per-tile-width format (RSELL, TCSR's
+    # SELL tier) would actually store: round_up(w_tile, 8) slot-rows of
+    # 5*128 bytes per occupied 128x128 tile. The batch routing law needs
+    # this, not flat SELL's hub-inflated global padding (r3 gallery: a
+    # hub graph's est_sell_bytes is 24x its real routed bytes, which
+    # flipped B=8 serving to a catastrophic densify).
+    w_tile = win.max(axis=2)                              # (mb, nb)
+    occ = w_tile > 0
+    slot_tile_bytes = int((np.ceil(w_tile[occ] / 8) * 8).sum()) * 5 * _LANES
+
     ii, jj = np.nonzero(mask)
     n_diags = int(np.unique(ii - jj).size)
     # only the DIA admission branch reads diag_sym: skip the O(n^2)
@@ -78,7 +88,7 @@ def matrix_stats(a: np.ndarray) -> dict[str, Any]:
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
                 w_global=w_global, w_typical=w_typical, n_diags=n_diags,
-                diag_sym=diag_sym)
+                diag_sym=diag_sym, slot_tile_bytes=slot_tile_bytes)
 
 
 def matrix_stats_csr(csr) -> dict[str, Any]:
@@ -103,6 +113,19 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
     w_global = int(col_w.max()) if col_w.size else 0
     w_typical = float(np.median(col_w)) if col_w.size else 0.0
 
+    # per-TILE width demand (see matrix_stats): O(nnz)
+    if r.size:
+        ckey = r * mb + (mi // _LANES)
+        uk, counts = np.unique(ckey, return_counts=True)
+        w_tile = np.zeros(mb * nb, dtype=np.int64)
+        tkey = (uk % mb) * nb + (uk // mb) // _LANES
+        np.maximum.at(w_tile, tkey, counts)
+        occ = w_tile > 0
+        slot_tile_bytes = int((np.ceil(w_tile[occ] / 8) * 8).sum()) * \
+            5 * _LANES
+    else:
+        slot_tile_bytes = 0
+
     n_diags = int(np.unique(mi - r).size)
 
     # bitwise A == A.T in O(nnz log nnz): lexsorted triplets vs the
@@ -120,7 +143,7 @@ def matrix_stats_csr(csr) -> dict[str, Any]:
     return dict(density=density, nnz=nnz,
                 empty_block_frac=empty_block_frac,
                 w_global=w_global, w_typical=w_typical, n_diags=n_diags,
-                diag_sym=diag_sym)
+                diag_sym=diag_sym, slot_tile_bytes=slot_tile_bytes)
 
 
 def route(m: int, n: int, s: dict[str, Any], *,
@@ -156,12 +179,19 @@ def route(m: int, n: int, s: dict[str, Any], *,
         return "dia"
     # batch: gather formats pay VPU gather work per (slot, batch) element,
     # so SpMM time is ~B x their bytes-time while dense-tile time is
-    # density-independent; route to dense tiles when B x estimated SELL
-    # bytes exceeds ~1.3x dense bytes (measured B-sweep, BENCH.md)
+    # density-independent; route to dense tiles when B x the bytes the
+    # B=1 routing would ACTUALLY move exceeds ~1.3x dense bytes (measured
+    # B-sweep, BENCH.md). That is min(flat SELL, per-tile-width storage):
+    # on a hub graph flat SELL's global padding is 24x the routed RSELL
+    # bytes, and using it here flipped B=8 serving to a catastrophic
+    # densify of a d=0.002 matrix (r3 gallery).
     est_sell_bytes = (-(-n // _LANES)) * (-(-m // _LANES)) * \
         round_up(max(s["w_global"], 8), 8) * _LANES * 5
+    eff_gather_bytes = min(est_sell_bytes,
+                           s.get("slot_tile_bytes") or est_sell_bytes)
     dense_bytes = m * n * 4
-    if expect_batch >= 2 and expect_batch * est_sell_bytes >= 1.3 * dense_bytes:
+    if expect_batch >= 2 and \
+            expect_batch * eff_gather_bytes >= 1.3 * dense_bytes:
         return "tcsr" if s["empty_block_frac"] >= 0.4 else "asp"
     if s["density"] > 0.65:   # r2 crossover: sell/dense = 0.99x at d=0.7
         return "asp"
