@@ -127,6 +127,27 @@ def test_amg_anisotropic_with_strength_threshold():
                                atol=2e-3)
 
 
+def test_amg_3d_poisson_converges():
+    """3D 7-point Poisson (the BENCH.md §AMG-robustness 101^3 row's
+    operator, shrunk to 16^3 for the suite): iteration count must stay in
+    the same single-digit band as 2D — SA is dimension-agnostic."""
+    from tpusparse.testing.generators import stencil_csr
+
+    side = 16
+    n = side ** 3
+    c = stencil_csr((side, side, side))
+    amg = smoothed_aggregation(c, coarse_size=100)
+    sizes = [l.n for l in amg.levels]
+    assert sizes[0] == n and len(sizes) >= 2
+    rng = np.random.default_rng(5)
+    b = rng.normal(size=n).astype(np.float32)
+    z, info = amg.solve(jnp.asarray(b), tol=1e-5)
+    assert int(info["iters"]) <= 12
+    sp = c.to_scipy().tocsr().astype(np.float64)
+    r = sp @ np.asarray(z).astype(np.float64) - b.astype(np.float64)
+    assert np.linalg.norm(r) <= 1e-3 * np.linalg.norm(b)
+
+
 def test_amg_block_mode_engages_and_converges():
     # 1-D chain (tridiagonal): bandwidth 1 <= 2*block_size, so auto picks
     # block strips — on a chain, index strips ARE graph neighborhoods

@@ -56,6 +56,22 @@ def test_cli_mtx(tmp_path, capsys):
     assert "routed to" in out and "OK" in out
 
 
+def test_cli_mtx_fem_fixture(capsys):
+    """The committed FEM MatrixMarket fixture (data/fem_mesh_16384.mtx)
+    runs end-to-end: ingest -> stats -> route -> float64-oracle check.
+    The same file backs the BENCH.md mtx row."""
+    from pathlib import Path
+
+    from tpusparse.cli import main
+
+    fixture = (Path(__file__).resolve().parent.parent
+               / "data" / "fem_mesh_16384.mtx")
+    assert fixture.exists(), "committed fixture missing"
+    assert main(["mtx", str(fixture), "--cpu", "--no-time"]) == 0
+    out = capsys.readouterr().out
+    assert "routed to" in out and "OK" in out
+
+
 def test_cli_tune_smoke(capsys):
     from tpusparse.cli import main
 

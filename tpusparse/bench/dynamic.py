@@ -303,6 +303,13 @@ def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
     k_act = max(1, int(round(live * nt)))
     act_bytes = k_act * _LANES * asp.a_pad.shape[1] * 4
     full_bytes = m * n * 4
+    if batch > 1:
+        # X/Y traffic scales with B while A does not; negligible at the
+        # default 4096^2/B=8 but keeps roofline fractions honest at small
+        # m/n or large B (ADVICE r3).
+        xy_bytes = batch * (m + n) * 4
+        act_bytes += xy_bytes
+        full_bytes += xy_bytes
     reps_act = max(6, min(20, -(-640_000_000 // act_bytes)))
     reps_full = max(6, -(-640_000_000 // full_bytes))
     kw = dict(k1=2, k2=5, reps=2) if quick else {}
@@ -343,7 +350,7 @@ def run_asp(m=4096, n=4096, d=0.5, live=0.25, patterns=5, quick=False,
         rows["dense"] = _measure_chain(
             f"dense_xla (changing X) B={batch}", dense_call,
             jnp.asarray(a), pool, step_bytes=full_bytes,
-            replicas=max(6, quick and 4 or 10), verbose=verbose, **kw)
+            replicas=4 if quick else 10, verbose=verbose, **kw)
 
     return dict(kind="asp", m=m, n=n, d=d, live=live, batch=batch,
                 act_bytes=act_bytes, full_bytes=full_bytes,

@@ -195,9 +195,19 @@ def route_name(csr, stats: dict[str, Any], batch: int = 1) -> str:
 
 def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
                  stamp: str | None = None, verbose: bool = True,
-                 x_seed: int = 0) -> dict[str, Any]:
+                 x_seed: int = 0, trials: int = 1) -> dict[str, Any]:
     """Measure every applicable format on one gallery workload; append the
-    record to ``json_path``. X is dense (serving-style activations)."""
+    record to ``json_path``. X is dense (serving-style activations).
+
+    ``trials``: independent slope-method measurements per format; the
+    recorded ``us`` is the MEDIAN and ``us_min``/``us_max``/``spread_pct``
+    record the trial spread, so no router-regret verdict rests on a single
+    trial of a sub-30 us kernel under the chip's ±10-20% contention jitter
+    (VERDICT r3 weak #4). The roofline denominator counts the format's
+    streamed bytes PLUS the X-read/Y-write traffic — negligible on dense-ish
+    4096^2 packs but the SAME magnitude as the diagonals on banded/stencil
+    operators, where counting format bytes alone understated the fraction
+    by ~2x (VERDICT r3 weak #3)."""
     from tpusparse.formats.csr import CsrMatrix
     from tpusparse.formats.auto import matrix_stats_csr
 
@@ -211,6 +221,7 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
     x = rng.uniform(-1.0, 1.0, size=(batch, m)).astype(np.float32)
     if batch == 1:
         x = x[0]
+    io_bytes = batch * (m + n) * 4          # X read + Y write per call
     routed = route_name(a, stats, batch)
     rows: dict[str, dict[str, Any]] = {}
     for e in candidates(a, stats, batch=batch):
@@ -232,24 +243,42 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
                       f"({nbytes/1e9:.1f} GB pack)", file=sys.stderr)
             del fmt
             continue
-        r = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
-                        bytes_moved=nbytes, nnz=a.nnz)
-        if roofline_fraction(nbytes, r.seconds) > 2.0:
-            # unphysical (>2x spec HBM BW): the small-span slope artifact
-            # (BENCH.md metrology note) — remeasure once with a 2x longer
-            # chain; keep whichever is physical
-            r2 = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
-                             bytes_moved=nbytes, nnz=a.nnz, k2=1152,
-                             estimator="median")
-            if r2.seconds > r.seconds:
-                r = r2
-        rows[e["name"]] = dict(us=round(r.seconds * 1e6, 1),
-                               mb=round(nbytes / 1e6, 1),
-                               roofline=round(
-                                   roofline_fraction(nbytes, r.seconds), 3),
-                               pack_s=round(pack_s, 2))
-        if verbose:
-            print(f"  {r} | pack {pack_s:.1f}s", file=sys.stderr)
+        step_bytes = nbytes + io_bytes
+        secs = []
+        for _ in range(max(1, trials)):
+            r = device_time(e["run"], fmt, x, name=f"{name}/{e['name']}",
+                            bytes_moved=step_bytes, nnz=a.nnz)
+            if roofline_fraction(step_bytes, r.seconds) > 2.0:
+                # unphysical (>2x spec HBM BW): the small-span slope
+                # artifact (BENCH.md metrology note) — remeasure once with
+                # a 2x longer chain; keep whichever is physical
+                r2 = device_time(e["run"], fmt, x,
+                                 name=f"{name}/{e['name']}",
+                                 bytes_moved=step_bytes, nnz=a.nnz,
+                                 k2=1152, estimator="median")
+                if r2.seconds > r.seconds:
+                    r = r2
+            secs.append(r.seconds)
+            if verbose:
+                print(f"  {r} | pack {pack_s:.1f}s", file=sys.stderr)
+        med = float(np.median(secs))
+        frac = roofline_fraction(step_bytes, med)
+        row = dict(us=round(med * 1e6, 1),
+                   mb=round(nbytes / 1e6, 1),
+                   io_mb=round(io_bytes / 1e6, 2),
+                   roofline=round(frac, 3),
+                   pack_s=round(pack_s, 2))
+        if len(secs) > 1:
+            row["trials"] = len(secs)
+            row["us_min"] = round(min(secs) * 1e6, 1)
+            row["us_max"] = round(max(secs) * 1e6, 1)
+            row["spread_pct"] = round(
+                100 * (max(secs) - min(secs)) / med, 1)
+        if frac > 1.0:
+            # physically impossible reading — stamp it as the documented
+            # slope/jitter artifact IN the record, not just in prose
+            row["artifact"] = "slope-jitter (>1.0 roofline is unphysical)"
+        rows[e["name"]] = row
         del fmt
     timed = {k: v for k, v in rows.items() if v["us"] is not None}
     best = min(timed, key=lambda k: timed[k]["us"])
@@ -321,6 +350,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--workloads", default="all",
                    help="comma list or 'all' (see --list)")
     p.add_argument("--batch", type=int, default=1)
+    p.add_argument("--trials", type=int, default=1,
+                   help="slope-method measurements per format; the "
+                        "recorded us is the median (>=5 for sub-30 us "
+                        "rows per the measurement protocol)")
     p.add_argument("--json", default="BENCH_gallery.json")
     p.add_argument("--list", action="store_true")
     p.add_argument("--render", action="store_true",
@@ -338,7 +371,7 @@ def main(argv: list[str] | None = None) -> int:
     stamp = run_id()
     for name in names:
         run_workload(name, batch=args.batch, json_path=args.json,
-                     stamp=stamp)
+                     stamp=stamp, trials=args.trials)
     render(args.json)
     return 0
 

@@ -173,6 +173,10 @@ def cmd_mtx(args) -> int:
     err = float(np.max(np.abs(y - y_ref))) if n else 0.0
     print(f"max|err| vs float64 oracle: {err:.3e} "
           f"({'OK' if err <= 1e-3 else 'FAIL'})")
+    if getattr(args, "no_time", False):
+        # ingest->route->oracle only (CI: interpret-mode Pallas on the CPU
+        # backend makes the timing chain minutes-slow at real sizes)
+        return 0 if err <= 1e-3 else 1
 
     # time the workload shape the routing was asked for: spmm at --batch>1
     xt = x if args.batch <= 1 else generators.random_sparse_batch(
@@ -431,6 +435,9 @@ def main(argv=None) -> int:
             p.add_argument("--batch", type=int, default=1)
             p.add_argument("--x-density", type=float, default=0.5)
             p.add_argument("--seed", type=int, default=0)
+            p.add_argument("--no-time", action="store_true",
+                           help="stop after the float64-oracle check "
+                                "(skip device timing)")
             p.add_argument("--cpu", action="store_true")
             p.set_defaults(fn=fn)
             continue

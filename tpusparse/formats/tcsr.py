@@ -45,11 +45,11 @@ _DENSE_TILE_BYTES = _LANES * _LANES * 4
 # 261 sell + 57 dense = 37-42 us vs 23 us all-sell or all-dense, 3 trials
 # each) — the alternating-kernel dispatch breaks the back-to-back pipeline
 # each tier enjoys alone. Charged as byte-equivalents at the 819 GB/s
-# roofline, slightly conservative (8 MB ~ 10 us) so a split must BUY its
-# overhead in real traffic before the model accepts it; the r3 gallery
-# misroute (104% regret from a split that saved 0.8 MB) is the case this
-# kills.
-_TIER_SPLIT_BYTES = 8 << 20
+# roofline: 12 MB ~ 15 us, the full measured overhead, so a split must
+# save at least what the alternating dispatch costs before the model
+# accepts it; the r3 gallery misroute (104% regret from a split that
+# saved 0.8 MB) is the case this kills.
+_TIER_SPLIT_BYTES = 12 << 20
 
 
 def _tier_cutoff(w_b: np.ndarray, expect_batch: int,
