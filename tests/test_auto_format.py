@@ -45,24 +45,36 @@ def test_powerlaw_is_rsell():
 
 
 def test_skew_falls_back_to_binned_when_rsell_vmem_bound_binds():
-    """rsell's wide kernel holds X and Y whole in VMEM; on a giant matrix
-    the skew branch must fall back to binned once the batch pushes past
-    that budget. Stats are supplied (skew, non-blocky, low density) so only
-    the branch under test varies; the matrix is a real 65536^2 CSR that is
-    never densified."""
+    """rsell's wide kernel holds X and Y whole in VMEM up to its 96 MB
+    hard cap (kernels/rsell_spmv.wide_fits — the route MUST use that
+    predicate, not a hand-mirrored copy: an 8 MB drifted copy mis-routed
+    the 262144^2 GB-scale powerlaw to binned, which packed 24.5 GB); on a
+    giant matrix the skew branch must still fall back to binned once the
+    batch pushes past the real cap. Stats are supplied (skew, non-blocky,
+    low density) so only the branch under test varies; the matrix is a
+    real 65536^2 CSR that is never densified."""
     from tpusparse.formats.csr import CsrMatrix
+    from tpusparse.kernels.rsell_spmv import wide_fits
 
     n = 65536
     rng = np.random.default_rng(0)
     rows = np.sort(rng.integers(0, n, 200))
     csr = CsrMatrix.from_coo(n, n, rows, rng.integers(0, n, 200),
                              rng.uniform(-1, 1, 200).astype(np.float32))
+    # slot_tile_bytes supplied (5 B/nnz, the real per-tile demand of a
+    # 200-nnz matrix) so the BATCH branch (B x gather bytes vs dense)
+    # doesn't fire first — this test pins the skew branch's VMEM bound
     stats = dict(density=1e-5, nnz=csr.nnz, empty_block_frac=0.0,
-                 w_global=12, w_typical=8.0)
-    f1 = auto_format(csr, expect_batch=1, stats=stats)
-    assert type(f1).__name__ == "RsellMatrix", type(f1).__name__
+                 w_global=12, w_typical=8.0, slot_tile_bytes=5 * csr.nnz)
+    # batch=4 needs 9.4 MB of X/Y residency — inside the kernel's cap
+    assert wide_fits(n, n, 4)
     f4 = auto_format(csr, expect_batch=4, stats=stats)
-    assert type(f4).__name__ == "BinnedSellMatrix", type(f4).__name__
+    assert type(f4).__name__ == "RsellMatrix", type(f4).__name__
+    # batch=48 needs 113 MB — past the 96 MB cap, and the kernel itself
+    # would refuse; the route must agree with the kernel's own predicate
+    assert not wide_fits(n, n, 48)
+    f48 = auto_format(csr, expect_batch=48, stats=stats)
+    assert type(f48).__name__ == "BinnedSellMatrix", type(f48).__name__
 
 
 def test_structured_x_pref_is_awsp():
@@ -103,3 +115,49 @@ def test_near_dense_never_routes_to_dia():
 
     rnd = generators.random_sparse_matrix(256, 256, density=0.9, seed=7)
     assert not isinstance(auto_format(rnd), DiaMatrix)
+
+
+def test_predicted_bytes_quantum_floor():
+    """predicted_bytes tracks real packed bytes well enough to gate
+    GB-scale packs (bench/scale.py cliff guard): slot formats floor at
+    the per-touched-tile chunk quantum."""
+    from tpusparse.bench.roofline import format_bytes
+    from tpusparse.formats.auto import predicted_bytes
+    from tpusparse.formats.rsell import RsellMatrix
+
+    from tpusparse.formats.csr import CsrMatrix
+
+    # uniform (no skew -> pack doesn't sort): stats-only prediction is
+    # the exact chunk stream; the pack adds only per-chunk cj/ct int32s
+    a = generators.random_sparse_matrix(1024, 768, density=0.02, seed=11)
+    s = matrix_stats(a)
+    pred = predicted_bytes(1024, 768, s, "rsell")
+    real = format_bytes(RsellMatrix.from_dense(a))
+    assert 0.8 * pred <= real <= 1.5 * pred, (pred, real)
+    # dense-family prediction is exact
+    assert predicted_bytes(1024, 768, s, "asp") == 1024 * 768 * 4
+
+    # powerlaw (skew -> the pack SORTS columns, 2.7x below the unsorted
+    # bound here): with the CSR in hand the prediction prices the sort
+    ap = generators.random_sparse_matrix(1024, 768, density=0.02, seed=11,
+                                         distribution="powerlaw")
+    sp_ = matrix_stats(ap)
+    csr = CsrMatrix.from_dense(ap)
+    pred_up = predicted_bytes(1024, 768, sp_, "rsell")
+    pred_sorted = predicted_bytes(1024, 768, sp_, "rsell", csr=csr)
+    real_p = format_bytes(RsellMatrix.from_dense(ap))
+    assert real_p <= pred_up, (real_p, pred_up)      # upper bound holds
+    assert 0.8 * pred_sorted <= real_p <= 1.5 * pred_sorted, \
+        (pred_sorted, real_p)
+
+
+def test_scale_bench_cliff_guard():
+    """The GB-scale bench records the quantum-floor law instead of
+    attempting a pack predicted past the HBM budget."""
+    from tpusparse.bench import scale
+
+    rec = scale.run(m=2048, density=0.002, quick=True, train=False,
+                    hbm_budget=1, verbose=False)
+    assert rec["cliff"] == "quantum_floor"
+    assert "floor_law" in rec and rec["predicted_gb"] >= 0
+    assert "spmv_us" not in rec          # device phase skipped

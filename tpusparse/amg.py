@@ -50,6 +50,45 @@ import jax.numpy as jnp
 from tpusparse.formats.csr import CsrMatrix
 
 
+def _auto_theta(sp) -> float:
+    """Strength-spectrum anisotropy detection (theta="auto", VERDICT r3
+    item 6): pick the drop tolerance from the distribution of normalized
+    couplings s_ij = |a_ij| / sqrt(a_ii a_jj) instead of making the user
+    know it. Isotropic operators have a unimodal spectrum (5-point
+    Laplacian: every s = 1/4) -> theta 0, the standard SA default.
+    Anisotropic operators are BIMODAL (eps=100 5-point: strong s ~ 0.5,
+    weak s ~ 0.005 in a 50:50 mix) and theta must fall between the modes
+    to semicoarsen along the strong direction. Rule: with S = median
+    per-row strongest coupling, call entries below S/4 the weak cluster;
+    when that cluster holds >= 25% of the off-diagonals AND its median
+    sits a decade below S (clear bimodality, not a fat tail), return the
+    geometric mean of the cluster medians, clipped to [0.02, 0.25] (the
+    measured-useful band: 0.08 took eps=100 from 33-42 to 8 CG
+    iterations, BENCH.md §AMG-robustness). O(nnz), recomputed per level
+    — after one semicoarsening pass the Galerkin operator's spectrum
+    closes up and theta relaxes back toward 0 on its own."""
+    n = sp.shape[0]
+    indptr, indices, data = sp.indptr, sp.indices, np.abs(sp.data)
+    diag = np.abs(sp.diagonal()) + 1e-300
+    rows = np.repeat(np.arange(n), np.diff(indptr))
+    off = indices != rows
+    if not off.any():
+        return 0.0
+    s = data[off] / np.sqrt(diag[rows[off]] * diag[indices[off]])
+    row_max = np.zeros(n)
+    np.maximum.at(row_max, rows[off], s)
+    strong_typ = float(np.median(row_max[row_max > 0]))
+    if strong_typ <= 0:
+        return 0.0
+    weak = s[s < strong_typ / 4]
+    if weak.size < 0.25 * s.size:
+        return 0.0
+    weak_typ = float(np.median(weak))
+    if weak_typ > strong_typ / 10:
+        return 0.0
+    return float(np.clip(np.sqrt(weak_typ * strong_typ), 0.02, 0.25))
+
+
 def _aggregate(sp, theta: float,
                use_native: bool | None = None) -> tuple[np.ndarray, int]:
     """Standard aggregation (Vanek '96 3-pass) on the strength graph
@@ -502,6 +541,14 @@ class SmoothedAggregationAMG:
                     return jax.device_put(x, NamedSharding(mesh, spec))
                 return jax.device_put(x, rep)
 
+            if isinstance(lev.a, DiaMatrix):
+                # force the GSPMD-partitionable XLA lowering: the Pallas
+                # DIA kernel (r4) is opaque to placement-only sharding
+                lev = _Level(
+                    DiaMatrix(lev.a.offsets, lev.a.vals, lev.a.shape,
+                              lev.a.nnz, sym=lev.a.sym, xla_only=True),
+                    lev.p, lev.pt, lev.dinv, lev.lmax, lev.n, lev.nnz,
+                    lev.fmt, lev.kind, lev.shape2d)
             return jax.tree_util.tree_map(put, lev)
 
         return SmoothedAggregationAMG(
@@ -669,7 +716,7 @@ def _pack(sp, dense_cutoff: int, square: bool):
     return fmt, type(fmt).__name__
 
 
-def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
+def smoothed_aggregation(a, *, theta: float | str = "auto", degree: int = 2,
                          ratio: float = 8.0, coarse_size: int = 400,
                          max_levels: int = 12, omega: float = 4.0 / 3.0,
                          dense_cutoff: int = 2048,
@@ -679,13 +726,18 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     """Build a smoothed-aggregation AMG hierarchy for symmetric ``a``.
 
     ``a`` — ``CsrMatrix``, scipy sparse, or dense ndarray (SPD system
-    matrix). ``theta`` — strength-of-connection drop tolerance (0 keeps
-    every stored off-diagonal, the standard SA default). On strongly
-    ANISOTROPIC operators raise it: at eps=100 (BENCH.md §AMG-robustness,
-    512^2, measured both orientations) theta=0 converges in 33-42 CG
-    iterations vs 7 isotropic, while theta=0.08 restores 8 iterations by
+    matrix). ``theta`` — strength-of-connection drop tolerance. The
+    default ``"auto"`` detects anisotropy from the normalized coupling
+    spectrum per level (``_auto_theta``): unimodal spectra (isotropic
+    operators) resolve to 0 — the standard SA default, every stored
+    off-diagonal kept — while bimodal spectra resolve to the gap between
+    the modes. Background: at eps=100 (BENCH.md §AMG-robustness, 512^2,
+    measured both orientations) theta=0 converges in 33-42 CG iterations
+    vs 7 isotropic, while theta~0.08 restores 8 iterations by
     semicoarsening along the strong direction — at ~2.8x operator
-    complexity (1.34 -> 3.7-3.8), the standard SA trade. ``degree`` —
+    complexity (1.34 -> 3.7-3.8), the standard SA trade; ``"auto"``
+    makes that trade without the user knowing the knob. Pass a float to
+    pin it (0 reproduces the old default behavior). ``degree`` —
     Chebyshev smoother degree; each V-cycle costs ~``2 * degree + 2``
     SpMVs per level. ``ratio`` — the smoother targets
     ``[lmax/ratio, 1.05 * lmax]`` of ``D⁻¹A`` (the aggressive-smoothing
@@ -747,6 +799,7 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
                          f"got {aggregation!r}")
 
     levels: list[_Level] = []
+    theta_resolved = None if theta == "auto" else float(theta)
     while sp.shape[0] > coarse_size and len(levels) < max_levels - 1:
         n = sp.shape[0]
         diag = sp.diagonal()
@@ -797,7 +850,10 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
             agg = np.arange(n) // block_size
             n_agg = int(agg[-1]) + 1
         else:
-            agg, n_agg = _aggregate(sp, theta)
+            lvl_theta = _auto_theta(sp) if theta == "auto" else theta
+            if theta_resolved is None:
+                theta_resolved = lvl_theta       # finest greedy level's pick
+            agg, n_agg = _aggregate(sp, lvl_theta)
             if n_agg >= n:        # aggregation stalled (all singletons)
                 break
         # tentative prolongator: unit-normalized aggregate indicators
@@ -869,8 +925,13 @@ def smoothed_aggregation(a, *, theta: float = 0.0, degree: int = 2,
     # coarse inverse, float64 on host then cast; applied as v @ inv(A)
     # (symmetric, so the row-vector convention needs no transpose)
     coarse_inv = jnp.asarray(np.linalg.inv(sp.toarray()).astype(np.float32))
-    out = SmoothedAggregationAMG(tuple(levels), coarse_inv, theta, degree,
-                                 ratio, omega)
+    # self.theta is always a float (save() stores it positionally): for
+    # "auto" record the finest greedy level's resolved pick (0.0 when no
+    # greedy level ran — grid/block hierarchies never threshold)
+    out = SmoothedAggregationAMG(
+        tuple(levels), coarse_inv,
+        theta_resolved if theta_resolved is not None else 0.0,
+        degree, ratio, omega)
     if mesh is not None:
         # place the non-greedy remainder (grid/block levels, dense tails,
         # vectors, coarse inverse); _ShardedOp levels pass through

@@ -17,6 +17,18 @@ One 262144^2 powerlaw matrix at d ~ 2e-3 (~137 M nnz):
 
 Run: ``python -m tpusparse.bench.scale [--m 262144] [--density 2e-3]``.
 Emits one JSON record; small shapes via --m for CPU smoke tests.
+
+The default 262144^2 config is itself the bench's first finding (r4): at
+d_eff ~ 8e-4 the matrix touches 99.2% of its 4.19M 128^2 tiles, so every
+slot format floors at the (8,128)-chunk quantum — 37.2 GB predicted for
+unsorted per-tile widths, 15.5 GB even after RSELL's SELL-sigma column
+sort, 24.5 GB MEASURED for binned (before formats/auto.py's wide_fits
+drift fix mis-routed it there) — past the single-chip HBM budget every
+way. The run records that law as a ``cliff`` row instead of OOMing; the
+measured GB-scale rows use configs inside the quantum-competence region
+(per-tile fill >= ~1 slot-row, e.g. 65536^2 at d=0.02), and the
+sharded-carrier story at >= 1e5 nodes is recorded by
+scripts/scale_sharded_study.py (data/scale_sharded_330.json).
 """
 
 from __future__ import annotations
@@ -39,12 +51,16 @@ def _wall(fn, *a, **kw):
 
 
 def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
-        train: bool = True,
+        train: bool = True, hbm_budget: int = 12_000_000_000,
         verbose: bool = True, quick: bool = False) -> dict[str, Any]:
-    """``quick``: tiny chains for CPU smoke tests (times meaningless)."""
+    """``quick``: tiny chains for CPU smoke tests (times meaningless).
+    ``hbm_budget``: packs predicted past this are recorded as a
+    quantum-floor cliff instead of attempted (16 GB HBM minus headroom
+    for X/Y/replica bookkeeping)."""
     from tpusparse.bench.roofline import format_bytes, roofline_fraction
     from tpusparse.bench.runner import chain_device_time, device_time, run_id
-    from tpusparse.formats.auto import auto_format, matrix_stats_csr, route
+    from tpusparse.formats.auto import (auto_format, matrix_stats_csr,
+                                        predicted_bytes, route)
     from tpusparse.testing import generators
 
     def log(msg):
@@ -64,6 +80,30 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
     rec["stats_s"] = round(t_stats, 1)
     rec["routed"] = routed
     log(f"stats in {t_stats:.1f}s -> routed to {routed}")
+
+    # Quantum-floor guard (the r4 GB-scale run's first finding): when the
+    # matrix touches nearly every 128^2 tile at low per-tile fill, every
+    # slot format floors at 5120 B x touched tiles — 37.2 GB predicted
+    # (24.5 GB measured for binned before the router fix) for the default
+    # 262144^2 powerlaw, past the 16 GB single-chip HBM. Packing that is
+    # not a benchmark, it is an OOM; record the law and the multi-chip
+    # pointer instead (parallel/sparse.py shards the same pack at
+    # ~pred/D bytes per chip; scripts/scale_sharded_study.py grounds the
+    # sharded-carrier correctness at >= 1e5 nodes).
+    pred = predicted_bytes(m, m, stats, routed, csr=csr)
+    rec["predicted_gb"] = round(pred / 1e9, 2)
+    if pred > hbm_budget:
+        ntile = ((m + 127) // 128) ** 2
+        rec["cliff"] = "quantum_floor"
+        rec["touched_tile_frac"] = round(1 - stats["empty_block_frac"], 4)
+        rec["floor_law"] = (
+            f"slot formats >= round_up(w_tile,8) x 640 B per touched "
+            f"128^2 tile; {rec['touched_tile_frac']:.1%} of {ntile:,} "
+            f"tiles touched -> {pred/1e9:.1f} GB predicted for "
+            f"'{routed}' > {hbm_budget/1e9:.0f} GB HBM budget; this "
+            f"regime needs the multi-chip partitions")
+        log(f"CLIFF: {rec['floor_law']}")
+        return rec
 
     fmt, t_pack = _wall(auto_format, csr, stats=stats)
     nbytes = format_bytes(fmt)
@@ -178,7 +218,8 @@ def main(argv=None) -> int:
         if os.path.exists(args.json):
             with open(args.json) as f:
                 recs = json.load(f)
-        recs = [r for r in recs if r.get("m") != rec["m"]]
+        recs = [r for r in recs if (r.get("m"), r.get("density"))
+                != (rec["m"], rec["density"])]
         recs.append(rec)
         with open(args.json, "w") as f:
             json.dump(recs, f, indent=1)

@@ -219,14 +219,85 @@ def route(m: int, n: int, s: dict[str, Any], *,
         # or to TCSR for padding without skew, where binned's column sort
         # cannot recover anything (all columns look alike) but TCSR's
         # per-tile SELL tier still tracks the slot floor.
-        mp = round_up(m, _LANES)
-        np2 = round_up(n, _LANES)
-        bb = max(expect_batch, 1)
-        # mirror of the rsell kernel's own wide-path budget check
-        if (mp * bb + np2 * bb * 8) * 4 <= 8 << 20:
+        # the kernel's OWN budget predicate (96 MB hard cap with a raised
+        # per-kernel vmem limit past the 8 MB comfort zone) — an earlier
+        # hand-mirrored 8 MB copy of this check drifted from the kernel and
+        # mis-routed a 262144^2 powerlaw (needs 9.4 MB of X/Y residency) to
+        # binned, whose quantile buckets cannot contain a powerlaw tail at
+        # that column count: 24.5 GB packed vs RSELL's nnz-proportional
+        # stream (the r4 GB-scale run's first finding, BENCH.md §scale)
+        from tpusparse.kernels.rsell_spmv import wide_fits
+
+        if wide_fits(m, n, max(expect_batch, 1)):
             return "rsell"
         return "binned" if skew else "tcsr"
     return "awsp" if expect_structured_x else "sell"
+
+
+def sorted_slot_tile_bytes(csr) -> int:
+    """Per-tile slot demand AFTER the SELL-sigma column sort — what a
+    skew-routed RSELL pack actually stores (``rsell_pack_csr`` sorts when
+    the router's skew test fires; measured 4.4x smaller than unsorted on
+    powerlaw d=0.15). O(nnz log nnz): rank columns by nnz, then per
+    (sorted column group, window) tile take the max per-column count and
+    charge ceil(w/8) chunks of 5120 B."""
+    m, n = csr.shape
+    order = np.argsort(-csr.row_nnz, kind="stable")
+    rank = np.empty(n, np.int64)
+    rank[order] = np.arange(n)
+    r = np.repeat(rank, csr.row_nnz)
+    mi = csr.col_idx.astype(np.int64)
+    nt = (m + _LANES - 1) // _LANES
+    ck = r * nt + (mi // _LANES)                 # (sorted col, window)
+    uk, counts = np.unique(ck, return_counts=True)
+    tkey = ((uk // nt) // _LANES) * nt + (uk % nt)
+    o2 = np.argsort(tkey, kind="stable")
+    tk, cc = tkey[o2], counts[o2]
+    if not tk.size:
+        return 0
+    starts = np.concatenate([[0], np.flatnonzero(np.diff(tk)) + 1])
+    w_tile = np.maximum.reduceat(cc, starts)
+    return int((-(-w_tile // 8)).sum()) * 8 * 5 * _LANES
+
+
+def predicted_bytes(m: int, n: int, s: dict[str, Any], kind: str,
+                    csr=None) -> int:
+    """Packed-bytes PREDICTION for ``kind`` from statistics alone — no
+    packing. Exact enough to gate GB-scale packs before paying for them
+    (bench/scale.py's quantum-floor guard): slot formats cannot go below
+    round_up(w_tile, 8) x 5 B x 128 lanes per occupied 128^2 tile (the
+    (8,128)-VREG chunk quantum), which ``slot_tile_bytes`` sums exactly;
+    a 262144^2 powerlaw at d~8e-4 touches 99.2% of its 4.19M tiles, so
+    EVERY slot format floors past single-chip HBM — the regime where the
+    multi-chip partitions (parallel/sparse.py) are the design answer
+    (unsorted 37.2 GB; 15.5 GB even after the SELL-sigma sort; binned
+    MEASURED 24.5 GB: buckets amortize SOME hub width, never the tile
+    quantum). Pass ``csr`` to price the skew-routed RSELL pack honestly
+    (it sorts columns; stats-only prediction is the unsorted upper
+    bound)."""
+    if kind == "dia":
+        eff = (s["n_diags"] + 1) // 2 if s.get("diag_sym") \
+            else s["n_diags"]
+        return 4 * eff * n
+    if kind == "asp":
+        return 4 * m * n
+    if kind in ("rsell", "tcsr", "binned"):
+        floor = int(s.get("slot_tile_bytes") or 0)
+        skew = s["w_typical"] > 0 and \
+            s["w_global"] >= 1.5 * s["w_typical"]
+        if kind == "rsell" and skew and csr is not None:
+            floor = sorted_slot_tile_bytes(csr)
+        if kind == "tcsr":
+            # per-tile dense/SELL tier: each tile costs at most the dense
+            # tile (128^2 x 4 B), at least its SELL-tier slots
+            live = 1.0 - s["empty_block_frac"]
+            n_tiles = (round_up(m, _LANES) // _LANES) * \
+                (round_up(n, _LANES) // _LANES)
+            return int(min(floor, live * n_tiles * _LANES * _LANES * 4))
+        return floor
+    # flat SELL / AWSP: global width in every window of every column group
+    return int((-(-n // _LANES)) * (-(-m // _LANES)) *
+               round_up(max(s["w_global"], 8), 8) * _LANES * 5)
 
 
 def auto_format(a, *, expect_structured_x: bool = False,

@@ -113,16 +113,21 @@ class DiaMatrix:
     """
 
     def __init__(self, offsets: tuple, vals: Any, shape, nnz: int,
-                 sym: bool = False):
+                 sym: bool = False, xla_only: bool = False):
         self.offsets = tuple(offsets)   # static: aux data, hashable
         self.vals = vals                # (k, n) fp32
         self.shape = shape
         self.nnz = nnz
         self.sym = bool(sym)
+        # GSPMD-partitionable lowering: spmv skips the Pallas kernel (a
+        # pallas_call is opaque to GSPMD; amg.shard() relies on the XLA
+        # slice/pad form lowering to halo collective-permutes when the
+        # level vectors are sharded by placement alone)
+        self.xla_only = bool(xla_only)
 
     def tree_flatten(self):
         return ((self.vals,), (self.offsets, self.shape, self.nnz,
-                               self.sym))
+                               self.sym, self.xla_only))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -133,7 +138,7 @@ class DiaMatrix:
     def _io_rebuild(cls, aux, leaves):
         if len(leaves) != 1:
             raise ValueError(f"{len(leaves)} leaves, expected 1")
-        # len-3 aux: files saved before the symmetric-storage field
+        # len-3/4 aux: files saved before the sym / xla_only fields
         return cls.tree_unflatten(tuple(aux), leaves)
 
     def __repr__(self) -> str:
@@ -173,7 +178,8 @@ class DiaMatrix:
                 rows[-d] = lax.pad(vals[i], jnp.float32(0), ((d, -d, 0),))
         offs = sorted(rows)
         return DiaMatrix(tuple(offs), jnp.stack([rows[d] for d in offs]),
-                         self.shape, self.nnz, sym=False)
+                         self.shape, self.nnz, sym=False,
+                         xla_only=self.xla_only)
 
     def to_dense(self) -> np.ndarray:
         m, n = self.shape
@@ -195,11 +201,26 @@ class DiaMatrix:
         return max(0, -dmin), max(0, dmax + n - m)
 
     def spmv(self, x: Any) -> jax.Array:
-        """y = x @ A: k statically-shifted fused multiply-adds (VPU)."""
+        """y = x @ A: k statically-shifted fused multiply-adds (VPU).
+
+        Square operators go through the Pallas kernel
+        (``kernels/dia_spmv.py``) — the XLA slice/pad form below
+        materializes every lane-unaligned shifted stream (1M-unknown sym
+        Laplacian: 51.4 us vs the kernel's one-pass streams, r4) and is
+        kept for the shapes the kernel doesn't cover (rectangular, >32
+        diagonals, tiny n)."""
         x = jnp.asarray(x)
         if x.ndim != 1:
             return self.spmm(x)
         m, n = self.shape
+        from tpusparse.kernels.dia_spmv import dia_spmv_pallas, fits
+
+        if m == n and not self.xla_only and \
+                fits(self.offsets, self.sym, n):
+            return dia_spmv_pallas(tuple(self.offsets),
+                                   jnp.asarray(self.vals),
+                                   x.astype(jnp.float32),
+                                   sym=self.sym, n=n)
         lo, hi = self._x_pad()
         xp = jnp.pad(x.astype(jnp.float32), (lo, hi))
         y = jnp.zeros(n, jnp.float32)

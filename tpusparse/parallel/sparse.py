@@ -833,6 +833,47 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
             raise ValueError(
                 f"halo {max(hl, hr)} exceeds the {n_loc}-element slab at "
                 f"D={d}; band too wide for this mesh — use partition='n'")
+        from tpusparse.kernels import dia_spmv as _dk
+
+        hrows = _dk.halo_rows(offsets, dm.sym)
+        hs = hrows * _LANES
+        if b == 1 and hs <= n_loc and _dk.fits(offsets, dm.sym, n_loc):
+            # Pallas body (r4): the XLA form below materializes every
+            # shifted stream AND the halo/mirror concatenates (the 2.4x
+            # D=1 ratio, BENCH_shard_overhead.json); the kernel takes the
+            # ppermute-moved neighbor edges as explicit strip operands, so
+            # the sharded call adds only the strip comm to the unsharded
+            # kernel's single-pass streams. Local slabs must be a multiple
+            # of the kernel's block quantum for the strips to land at the
+            # slab edge, hence the wider global padding (zero-coefficient
+            # columns).
+            nr0 = -(-(-(-n // d)) // _LANES)      # rows of a ceil-split slab
+            rows = _dk._pick_rows(len(offsets), hrows, nr0)
+            np2 = n + (-n % (d * rows * _LANES))
+            n_loc2 = np2 // d
+            vals2 = jnp.pad(jnp.asarray(dm.vals),
+                            ((0, 0), (0, np2 - dm.vals.shape[1])))
+            x2 = jnp.pad(x2d.astype(jnp.float32),
+                         ((0, 0), (0, np2 - x2d.shape[1])))
+
+            def fp(vals_loc, x_loc):
+                xv = x_loc[0]
+                sl = comm.ring_shift(xv[-hs:], "n", shift=1)
+                sr = comm.ring_shift(xv[:hs], "n", shift=-1)
+                vstrip = None
+                if dm.sym:
+                    vh = comm.ring_shift(vals_loc[:, -hs:], "n", shift=1)
+                    vstrip = jnp.where(lax.axis_index("n") == 0, 0.0, vh)
+                y = _dk.dia_spmv_pallas(
+                    offsets, vals_loc, xv, sym=dm.sym, n=n_loc2,
+                    xstrip_l=sl, xstrip_r=sr, vstrip=vstrip)
+                return y[None, :]
+
+            y = _shard_map(fp, mesh=mesh, check_vma=False,
+                           in_specs=(P(None, "n"), P(None, "n")),
+                           out_specs=P(None, "n"))(vals2, x2)
+            y = y[:, :n]
+            return y[0] if squeeze else y
         x2d = x2d.astype(jnp.float32)
         if x2d.shape[1] != np_:
             x2d = jnp.pad(x2d, ((0, 0), (0, np_ - x2d.shape[1])))
