@@ -132,3 +132,24 @@ def test_rsell_sharded_contiguous():
     y_refb = np.stack([reference.sgemv_cpu(xb[i], a) for i in range(3)])
     assert_close(rsell_spmm_sharded(sh, xb, mesh), y_refb,
                  name="rsell sharded contiguous b=3")
+
+
+def test_smem_plan_segmenting(monkeypatch):
+    """GB-scale packs overflow the 1 MB SMEM scalar-prefetch budget (the
+    r4 65536^2 run: 283k chunks x int32 failed to compile); past the cap
+    the kernel splits the chunk stream and sums partial outputs. Forced
+    here with a tiny cap so both pad and no-pad tails are covered."""
+    import tpusparse.kernels.rsell_spmv as K
+    from tpusparse.formats.rsell import RsellMatrix
+    from tpusparse.testing import generators, reference
+
+    a = generators.random_sparse_matrix(512, 384, density=0.15, seed=9,
+                                        distribution="powerlaw")
+    f = RsellMatrix.from_dense(a)
+    x = generators.random_sparse_vector(512, density=0.5, seed=9)
+    y_ref = reference.sgemv_cpu(x, a)
+    y_one = np.asarray(f.spmv(x))
+    monkeypatch.setattr(K, "_SMEM_PLAN_CHUNKS", 3)   # force many segments
+    y_seg = np.asarray(f.spmv(x))
+    np.testing.assert_allclose(y_seg, y_ref, atol=1e-3)
+    np.testing.assert_allclose(y_seg, y_one, atol=1e-5)

@@ -62,6 +62,7 @@ class CommEstimate:
 def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
                n_devices: int = 8, format_bytes: int | None = None,
                halo: int = 0, vals_halo: int = 0,
+               lowering: float = 1.0,
                hbm_gbps: float = HBM_GBPS,
                ici_gbps: float = ICI_RING_GBPS) -> CommEstimate:
     """Weak-scaling estimate: every chip holds an (m, n) fp32 slab (or
@@ -70,11 +71,16 @@ def comm_model(partition: str, *, m: int, n: int, batch: int = 1,
     partition's edge exchange (DIA stencil: ``sum of max|offset| both
     ways``), the only partition whose ICI bytes are independent of BOTH
     the slab size and D. ``vals_halo`` (elements) adds the symmetric-DIA
-    vals edge strip (``k_half * dmax``, one extra ppermute per call,
-    parallel/sparse.py mirror_local) — batch-independent, still ∝
-    bandwidth only."""
+    vals edge strip (``k * halo_rows * 128``, one extra ppermute per
+    call, feeding the Pallas kernel's strip operands) — batch-
+    independent, still ∝ bandwidth only. ``lowering`` multiplies the
+    compute term with the MEASURED 1-device shard_map overhead
+    (BENCH_shard_overhead.json, bench/shard_overhead.py) — the model's
+    hardware-grounded correction for strip selects / slab-quantum pad
+    that pure byte counting misses (r3's unpriced 2.4x, fixed to a
+    measured 1.21x for the DIA halo in r4)."""
     slab = format_bytes if format_bytes is not None else m * n * 4
-    compute = slab / (hbm_gbps * 1e9)
+    compute = lowering * slab / (hbm_gbps * 1e9)
     d = n_devices
     if partition == "n":
         ici = 0
@@ -144,9 +150,14 @@ def report(m: int = 4096, n: int = 4096, batch: int = 1,
             e = comm_model(p, m=m, n=n, batch=batch, n_devices=d,
                            format_bytes=format_bytes)
             lines.append(f"D={d:3d} {e}")
-        # DIA stencil halo at a representative band (max|offset| 512/side)
+        # DIA stencil halo at a representative band (max|offset| 512/side);
+        # lowering 1.21 = the MEASURED 1-device shard_map ratio of the
+        # Pallas strip-operand body (BENCH_shard_overhead.json r4; was an
+        # unpriced 2.4x in r3 — root cause: halo/mirror concatenates and
+        # slab-quantum padding, both fixed)
         eh = comm_model("halo", m=m, n=n, batch=batch, n_devices=d,
-                        format_bytes=format_bytes, halo=1024)
+                        format_bytes=format_bytes, halo=1024,
+                        vals_halo=3 * 16 * 128, lowering=1.21)
         lines.append(f"D={d:3d} {eh}")
         t = train_model(m=m, n=n, batch=batch, n_devices=d,
                         format_bytes=format_bytes)

@@ -41,6 +41,7 @@ _SUB = 8
 
 _WIDE_VMEM_LIMIT = 8 * 1024 * 1024      # comfort zone: no limit override
 _WIDE_VMEM_CAP = 96 * 1024 * 1024        # hard cap (v5e VMEM is 128 MB)
+_SMEM_PLAN_CHUNKS = 192_000   # packed int32 plan must fit ~1 MB SMEM
 
 
 def wide_fits(m: int, n: int, batch: int = 1) -> bool:
@@ -55,7 +56,7 @@ def wide_fits(m: int, n: int, batch: int = 1) -> bool:
     return need <= _WIDE_VMEM_CAP
 
 
-def _rsell_kernel(cj_ref, ct_ref, idx_ref, val_ref, x_ref, o_ref, *,
+def _rsell_kernel(cjct_ref, idx_ref, val_ref, x_ref, o_ref, *,
                   c: int, batch: int):
     k = pl.program_id(0)
 
@@ -66,8 +67,14 @@ def _rsell_kernel(cj_ref, ct_ref, idx_ref, val_ref, x_ref, o_ref, *,
     ones = jnp.ones((_SUB, _SUB), jnp.float32)
     for i in range(c):
         g = k * c + i
-        cj = cj_ref[g]
-        ct = ct_ref[g]
+        # (cj, ct) ride ONE packed int32 per chunk: the scalar-prefetch
+        # plan lives in SMEM (1 MB on v5e), and two int32 streams hit
+        # that wall at ~131k chunks — the GB-scale run's 283k-chunk pack
+        # failed to compile (r4). Packing halves the plan; segmenting
+        # (rsell_spmm_padded) covers the rest.
+        v = cjct_ref[g]
+        cj = jax.lax.shift_right_logical(v, 16)
+        ct = jax.lax.bitwise_and(v, 0xFFFF)
         idx8 = idx_ref[i].astype(jnp.int32)                  # (8, 128)
         v8 = val_ref[i].astype(jnp.float32)
         cols = pl.dslice(cj * _LANES, _LANES)
@@ -79,7 +86,8 @@ def _rsell_kernel(cj_ref, ct_ref, idx_ref, val_ref, x_ref, o_ref, *,
             o_ref[b * _SUB:(b + 1) * _SUB, cols] += acc.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("n_padded", "interpret"))
+@functools.partial(jax.jit, static_argnames=("n_padded", "interpret",
+                                              "chunks_per_step"))
 def rsell_spmm_padded(
     cj: jax.Array,       # (nchunk,) int32 — output group per chunk
     ct: jax.Array,       # (nchunk,) int32 — contraction window per chunk
@@ -89,6 +97,7 @@ def rsell_spmm_padded(
     *,
     n_padded: int,
     interpret: bool | None = None,
+    chunks_per_step: int | None = None,   # tuning override of the c rule
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     if interpret is None:
         interpret = default_interpret()
@@ -112,31 +121,68 @@ def rsell_spmm_padded(
     # 128-alignment of long lists keeps the divisor snap from degrading
     from tpusparse.tune import blocks_per_step
 
-    c = blocks_per_step(_SUB * _LANES * (vals.dtype.itemsize + 1),
-                        nchunk, cap=128)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nchunk // c,),
-        in_specs=[
-            pl.BlockSpec((c, _SUB, _LANES), lambda k, cj, ct: (k, 0, 0)),
-            pl.BlockSpec((c, _SUB, _LANES), lambda k, cj, ct: (k, 0, 0)),
-            pl.BlockSpec(x.shape, lambda k, cj, ct: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((b * _SUB, n_padded),
-                               lambda k, cj, ct: (0, 0)),
-    )
-    return pl.pallas_call(
-        functools.partial(_rsell_kernel, c=c, batch=b),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((b * _SUB, n_padded), x.dtype),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=vmem_limit,
-        ),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * int(vals.size) * b,
-            bytes_accessed=int(vals.size * vals.dtype.itemsize + idx.size),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(cj, ct, idx, vals, x)
+    # cap 256 (r4 sweep on the rmat-s13-ef16 gallery row: 64/128/256/512
+    # -> 33.4/28.6/26.5/28.6 us; the 1 MB bytes rule picks 205 there and
+    # snaps up). Past geometry the row sits at the measured gather floor:
+    # t ~ max-overlap(bytes/819 GB/s, slots/205 per cycle) — BENCH.md
+    c = chunks_per_step if chunks_per_step else blocks_per_step(
+        _SUB * _LANES * (vals.dtype.itemsize + 1), nchunk, cap=256)
+    if nchunk % c:
+        raise ValueError(f"chunks_per_step={c} must divide nchunk={nchunk}")
+    # the packed plan caps group/window ids at 16 bits each
+    if n_padded // _LANES > 0xFFFF or x.shape[1] // _LANES > 0xFFFF:
+        raise ValueError(
+            f"rsell plan ids are 16-bit packed: padded dims {x.shape[1]}"
+            f"x{n_padded} exceed {0xFFFF * _LANES} — shard the matrix")
+    cjct = (cj.astype(jnp.int32) << 16) | ct.astype(jnp.int32)
+
+    def call(cjct_s, idx_s, vals_s):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(cjct_s.shape[0] // c,),
+            in_specs=[
+                pl.BlockSpec((c, _SUB, _LANES), lambda k, cjct: (k, 0, 0)),
+                pl.BlockSpec((c, _SUB, _LANES), lambda k, cjct: (k, 0, 0)),
+                pl.BlockSpec(x.shape, lambda k, cjct: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((b * _SUB, n_padded),
+                                   lambda k, cjct: (0, 0)),
+        )
+        return pl.pallas_call(
+            functools.partial(_rsell_kernel, c=c, batch=b),
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct((b * _SUB, n_padded), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+                vmem_limit_bytes=vmem_limit,
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * int(vals_s.size) * b,
+                bytes_accessed=int(vals_s.size * vals_s.dtype.itemsize
+                                   + idx_s.size),
+                transcendentals=0,
+            ),
+            interpret=interpret,
+        )(cjct_s, idx_s, vals_s, x)
+
+    # SMEM segmenting: the packed plan must fit the ~1 MB scalar memory
+    # alongside Mosaic's own scalars; past ~192k chunks split the stream
+    # and sum the partial outputs (extra traffic: one (B*8, N) output
+    # read+write per extra segment — 0.6% of the 1.48 GB pack that first
+    # hit this wall)
+    seg = c * max(1, _SMEM_PLAN_CHUNKS // c)
+    if nchunk <= seg:
+        return call(cjct, idx, vals)
+    out = None
+    for lo in range(0, nchunk, seg):
+        hi = min(lo + seg, nchunk)
+        if (hi - lo) % c:            # pad the tail segment to c with
+            pad = -(hi - lo) % c     # zero chunks (gather 0.0 into g=0)
+            cs = jnp.pad(cjct[lo:hi], (0, pad))
+            is_ = jnp.pad(idx[lo:hi], ((0, pad), (0, 0), (0, 0)))
+            vs = jnp.pad(vals[lo:hi], ((0, pad), (0, 0), (0, 0)))
+        else:
+            cs, is_, vs = cjct[lo:hi], idx[lo:hi], vals[lo:hi]
+        part = call(cs, is_, vs)
+        out = part if out is None else out + part
+    return out

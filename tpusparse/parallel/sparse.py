@@ -849,6 +849,21 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
             # columns).
             nr0 = -(-(-(-n // d)) // _LANES)      # rows of a ceil-split slab
             rows = _dk._pick_rows(len(offsets), hrows, nr0)
+            # the global pad is (-n) % (d * rows * 128): the bytes-rule
+            # pick can pad catastrophically (512^2 at D=1: rows=976 pads
+            # n by 43%, measured +60% sharded time); walk down in hrows
+            # steps to the largest rows whose pad stays <= 5%
+            best, best_pad = rows, (-n) % (d * rows * _LANES)
+            r = rows
+            while r >= hrows:
+                pad = (-n) % (d * r * _LANES)
+                if pad < best_pad:
+                    best, best_pad = r, pad
+                if pad <= 0.05 * n:
+                    best, best_pad = r, pad
+                    break
+                r -= hrows
+            rows = best
             np2 = n + (-n % (d * rows * _LANES))
             n_loc2 = np2 // d
             vals2 = jnp.pad(jnp.asarray(dm.vals),
@@ -866,7 +881,7 @@ def dia_spmm_sharded(dm, x: Any, mesh: Mesh, partition: str = "halo") -> jax.Arr
                     vstrip = jnp.where(lax.axis_index("n") == 0, 0.0, vh)
                 y = _dk.dia_spmv_pallas(
                     offsets, vals_loc, xv, sym=dm.sym, n=n_loc2,
-                    xstrip_l=sl, xstrip_r=sr, vstrip=vstrip)
+                    xstrip_l=sl, xstrip_r=sr, vstrip=vstrip, rows=rows)
                 return y[None, :]
 
             y = _shard_map(fp, mesh=mesh, check_vma=False,
