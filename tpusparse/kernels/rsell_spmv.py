@@ -136,13 +136,22 @@ def rsell_spmm_padded(
             f"x{n_padded} exceed {0xFFFF * _LANES} — shard the matrix")
     cjct = (cj.astype(jnp.int32) << 16) | ct.astype(jnp.int32)
 
-    def call(cjct_s, idx_s, vals_s):
+    def call(cjct_s, step0, nseg):
+        # ``step0``: static grid-step offset of this segment into the FULL
+        # idx/vals streams. The big operands are passed WHOLE and addressed
+        # through the BlockSpec index map — slicing them under jit would
+        # materialize a GB-scale HBM copy per segment per call (the r4
+        # GB-scale run OOM'd at 17.3 GB from exactly that: a 6-replica
+        # 8.9 GB pool plus overlapped per-call segment copies). Only the
+        # SMEM plan (4 B/chunk) is sliced.
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(cjct_s.shape[0] // c,),
+            grid=(nseg // c,),
             in_specs=[
-                pl.BlockSpec((c, _SUB, _LANES), lambda k, cjct: (k, 0, 0)),
-                pl.BlockSpec((c, _SUB, _LANES), lambda k, cjct: (k, 0, 0)),
+                pl.BlockSpec((c, _SUB, _LANES),
+                             lambda k, cjct: (step0 + k, 0, 0)),
+                pl.BlockSpec((c, _SUB, _LANES),
+                             lambda k, cjct: (step0 + k, 0, 0)),
                 pl.BlockSpec(x.shape, lambda k, cjct: (0, 0)),
             ],
             out_specs=pl.BlockSpec((b * _SUB, n_padded),
@@ -157,32 +166,26 @@ def rsell_spmm_padded(
                 vmem_limit_bytes=vmem_limit,
             ),
             cost_estimate=pl.CostEstimate(
-                flops=2 * int(vals_s.size) * b,
-                bytes_accessed=int(vals_s.size * vals_s.dtype.itemsize
-                                   + idx_s.size),
+                flops=2 * nseg * _SUB * _LANES * b,
+                bytes_accessed=nseg * _SUB * _LANES
+                * (vals.dtype.itemsize + 1),
                 transcendentals=0,
             ),
             interpret=interpret,
-        )(cjct_s, idx_s, vals_s, x)
+        )(cjct_s, idx, vals, x)
 
     # SMEM segmenting: the packed plan must fit the ~1 MB scalar memory
-    # alongside Mosaic's own scalars; past ~192k chunks split the stream
+    # alongside Mosaic's own scalars; past ~192k chunks split the PLAN
     # and sum the partial outputs (extra traffic: one (B*8, N) output
     # read+write per extra segment — 0.6% of the 1.48 GB pack that first
-    # hit this wall)
+    # hit this wall). nchunk and seg are both multiples of c (the divisor
+    # snap / the explicit raise above), so every segment is too.
     seg = c * max(1, _SMEM_PLAN_CHUNKS // c)
     if nchunk <= seg:
-        return call(cjct, idx, vals)
+        return call(cjct, 0, nchunk)
     out = None
     for lo in range(0, nchunk, seg):
         hi = min(lo + seg, nchunk)
-        if (hi - lo) % c:            # pad the tail segment to c with
-            pad = -(hi - lo) % c     # zero chunks (gather 0.0 into g=0)
-            cs = jnp.pad(cjct[lo:hi], (0, pad))
-            is_ = jnp.pad(idx[lo:hi], ((0, pad), (0, 0), (0, 0)))
-            vs = jnp.pad(vals[lo:hi], ((0, pad), (0, 0), (0, 0)))
-        else:
-            cs, is_, vs = cjct[lo:hi], idx[lo:hi], vals[lo:hi]
-        part = call(cs, is_, vs)
+        part = call(cjct[lo:hi], lo // c, hi - lo)
         out = part if out is None else out + part
     return out
