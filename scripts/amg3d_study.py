@@ -1,7 +1,7 @@
 """3D AMG robustness row (VERDICT r4 item 1c): 101^3 = 1,030,301-unknown
 7-point Poisson through smoothed_aggregation + CG on the CPU path.
 
-Emits one JSON record for the BENCH.md §AMG-robustness table.
+Emits one JSON record for BENCH.md §AMG-robustness.
 Run: ``python scripts/amg3d_study.py [--side 101] [--theta 0.0]``.
 """
 

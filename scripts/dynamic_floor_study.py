@@ -1,6 +1,6 @@
 """Dynamic-activation plan-floor study (VERDICT r3 item 4).
 
-BENCH.md §dynamic showed the device-plan path flat below live ~ 0.25
+BENCH.md §dynamic: the device-plan path measured flat below live ~ 0.25
 (live=0.0625 cost 31.3 us vs live=0.25's 32.6 us): the plan machinery has
 a floor that clips the win region the reference's per-element skip
 (asp.cu:20-27) doesn't have. Three questions, all measured on hardware:

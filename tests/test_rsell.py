@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from tests.conftest import assert_close
 from tpusparse.formats.csr import CsrMatrix
@@ -137,8 +138,15 @@ def test_rsell_sharded_contiguous():
 def test_smem_plan_segmenting(monkeypatch):
     """GB-scale packs overflow the 1 MB SMEM scalar-prefetch budget (the
     r4 65536^2 run: 283k chunks x int32 failed to compile); past the cap
-    the kernel splits the chunk stream and sums partial outputs. Forced
-    here with a tiny cap so both pad and no-pad tails are covered."""
+    the kernel splits the chunk stream and sums partial outputs.
+
+    ADVICE r4 medium: the first version of this test patched the cap
+    AFTER a warm call, so the second spmv hit the jax.jit cache and the
+    multi-segment branch never executed. Now: the cap and an explicit
+    small ``chunks_per_step`` are fixed BEFORE the only kernel call (a
+    fresh static arg keys a fresh trace), and the test counts
+    ``pallas_call`` invocations at trace time to PROVE the expected
+    number of segments actually launched."""
     import tpusparse.kernels.rsell_spmv as K
     from tpusparse.formats.rsell import RsellMatrix
     from tpusparse.testing import generators, reference
@@ -149,7 +157,30 @@ def test_smem_plan_segmenting(monkeypatch):
     x = generators.random_sparse_vector(512, density=0.5, seed=9)
     y_ref = reference.sgemv_cpu(x, a)
     y_one = np.asarray(f.spmv(x))
-    monkeypatch.setattr(K, "_SMEM_PLAN_CHUNKS", 3)   # force many segments
-    y_seg = np.asarray(f.spmv(x))
+
+    nchunk = int(f.cj.shape[0])
+    cps = 4
+    assert nchunk % cps == 0 and nchunk // cps >= 3, nchunk
+
+    monkeypatch.setattr(K, "_SMEM_PLAN_CHUNKS", cps)  # 1 step per segment
+    calls = []
+    orig = K.pl.pallas_call
+
+    def counting(*args, **kw):
+        calls.append(1)
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(K.pl, "pallas_call", counting)
+    mp, np_ = f.padded
+    x2d = jnp.pad(jnp.asarray(x)[None, :], ((0, 0), (0, mp - x.shape[0])))
+    out = K.rsell_spmm_padded(f.cj, f.ct, f.idx, f.vals, x2d,
+                              n_padded=np_, chunks_per_step=cps)
+    assert len(calls) == nchunk // cps, (len(calls), nchunk, cps)
+    # same post-processing as RsellMatrix._run (unpermute demand sort)
+    y = out[::8][:1]
+    if f.perm_plan is not None:
+        from tpusparse.kernels.permute import apply_permutation
+        y = apply_permutation(y, f.perm_plan, f.shape[1])
+    y_seg = np.asarray(y)[0][:384]
     np.testing.assert_allclose(y_seg, y_ref, atol=1e-3)
     np.testing.assert_allclose(y_seg, y_one, atol=1e-5)

@@ -176,7 +176,11 @@ def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
     nb, gtot, w, lanes = awsp.vals.shape
     full_bytes = nb * (gtot - g) * w * lanes * 5     # all real groups
     k_act = max(1, int(round(live * ng)))
-    act_bytes = nb * k_act * g * w * lanes * 5
+    # + the B-scaled X/Y vector traffic (ADVICE r3 low): at small live
+    # fractions and batch > 1 the (B, m) X and (B, n) Y reads/writes are
+    # a visible share of the step's bytes and must size the slope chain
+    xy_bytes = batch * (m + n) * 4
+    act_bytes = nb * k_act * g * w * lanes * 5 + xy_bytes
     reps_full = max(6, -(-640_000_000 // full_bytes))
     reps_act = max(6, min(20, -(-640_000_000 // act_bytes)))
     kw = dict(k1=2, k2=5, reps=2) if quick else {}
@@ -215,7 +219,7 @@ def run_awsp(m=4096, n=4096, d=0.5, g=2, live=0.25, patterns=5,
 
     rows["dense"] = _measure_chain(
         "dense_xla (changing X)", dense_call, jnp.asarray(a_dense), pool,
-        step_bytes=m * n * 4, replicas=max(6, quick and 4 or 10),
+        step_bytes=m * n * 4, replicas=4 if quick else 10,
         verbose=verbose, **kw)
 
     replan_s = _price_host_replan(awsp, pool, steps=4 if quick else 24) \
