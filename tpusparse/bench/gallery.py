@@ -276,7 +276,10 @@ def run_workload(name: str, *, batch: int = 1, json_path: str | None = None,
                 100 * (max(secs) - min(secs)) / med, 1)
         if frac > 1.0:
             # physically impossible reading — stamp it as the documented
-            # slope/jitter artifact IN the record, not just in prose
+            # slope/jitter artifact IN the record, not just in prose.
+            # slope_artifact is the canonical boolean verify_docs checks;
+            # "artifact" carries the human note
+            row["slope_artifact"] = True
             row["artifact"] = "slope-jitter (>1.0 roofline is unphysical)"
         rows[e["name"]] = row
         del fmt

@@ -232,6 +232,7 @@ def verify_docs(root: str | None = None) -> list[str]:
                             f"failure is a result; the prose must own it")
                 if "roofline" in k and isinstance(v, (int, float)) \
                         and v > 1.0 and not d.get("slope_artifact") \
+                        and not d.get("artifact") \
                         and not flag_exempt.search(rel):
                     problems.append(
                         f"{rel} has {k}={v} > 1.0 with no slope_artifact "

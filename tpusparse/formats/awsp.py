@@ -79,15 +79,26 @@ class AwspMatrix:
 
     @classmethod
     def from_dense(cls, a: np.ndarray, w: int | None = None,
-                   g: int = 8, dtype: Any = None) -> "AwspMatrix":
+                   g: int = 1, dtype: Any = None) -> "AwspMatrix":
         """``g``: windows per skippable group (skip granularity g*128 rows).
-        g=8 balances skip resolution vs per-step overhead; g=16 measures
-        ~8% faster on dense plans but halves the skip resolution. ``dtype``:
-        bf16 value storage, same trade as SellMatrix.from_dense."""
+        Default 1 — per-window skip, the finest the layout admits: the r5
+        floor study (data/dynamic_floor.json, BENCH.md §dynamic) measured
+        the plan machinery at ~2 us with per-ng overhead in the jitter
+        (NOT the r3 "~25-30 us plan floor", which was group-granularity
+        quantization: k_act = max(1, live*ng) cannot go below one group),
+        and g=1 extends the dynamic win region to live=1/32 (3.4 us vs
+        g=8's 21.8 at m=4096 d=0.5) while costing nothing at live=1.0
+        (74.6 vs 70.9 static, inside contention jitter). Coarser g only
+        helps when the caller wants fewer, larger DMA steps on dense
+        plans (g=16 measured ~8% faster at live=1.0, half the skip
+        resolution). ``dtype``: bf16 value storage, same trade as
+        SellMatrix.from_dense. Reference granularity target: the per-
+        32-element word skip of asp.cu:20-27 — 128 rows is the TPU
+        lane-tile quantum, the closest hardware-native analog."""
         return cls._from_pack(sell_pack(a, w=w, dtype=dtype), g)
 
     @classmethod
-    def from_csr(cls, csr, w: int | None = None, g: int = 8) -> "AwspMatrix":
+    def from_csr(cls, csr, w: int | None = None, g: int = 1) -> "AwspMatrix":
         """Pack from ``CsrMatrix`` without materializing dense A."""
         from tpusparse.formats.sell import sell_pack_csr
 
