@@ -3,6 +3,14 @@ criterion): aniso2d-eps100 (512^2, both orientations) must solve at
 <= 10 CG iterations with DEFAULT arguments — theta='auto' resolves from
 the per-level coupling spectrum (amg._auto_theta), no hand-tuning.
 
+Status: MET as of r5 — 8 iterations both axes (the r4 geometric-mean
+rule read 11/16; the S/4 rule fixed it, see _auto_theta's docstring and
+BENCH.md §AMG-robustness). The recorded true relres ~8e-5 against the
+requested tol=1e-6 is NOT a miss: tol gates the fp32 CG recurrence
+residual, while the float64-recomputed true residual floors at the fp32
+V-cycle's attainable accuracy (~eps_fp32 * kappa, kappa ~ 1e5 here) —
+the manual-theta rows in BENCH.md show the same ~6e-5 floor.
+
 Iteration counts / complexities are device-independent (CPU path).
 Record: data/amg_auto_theta_512.json. Run:
 ``PYTHONPATH=/root/repo python scripts/amg_auto_theta_study.py``.

@@ -351,9 +351,10 @@ def test_amg_anisotropic_default_args_converge():
             .astype(np.float32)
         z, info = amg.solve(jnp.asarray(b), tol=1e-6)
         # 64^2's iteration floor is ~11-12 for ANY theta (0.08 also reads
-        # 12; the <= 10 criterion holds at the 512^2 gallery size, recorded
-        # in BENCH.md §AMG-robustness); theta=0 reads 34 here — 15 cleanly
-        # separates detected-vs-not
+        # 12); at the 512^2 gallery size auto-theta reads 8 both axes —
+        # the <= 10 criterion, recorded in BENCH.md §AMG-robustness and
+        # data/amg_auto_theta_512.json (r5). theta=0 reads 34 here — 15
+        # cleanly separates detected-vs-not
         assert int(info["iters"]) <= 15, (axis, int(info["iters"]))
         # the eps=100 operator has ||A|| ~ 200x the isotropic case, so an
         # absolute-residual check miscalibrates; the contract is relative

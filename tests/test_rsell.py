@@ -184,3 +184,63 @@ def test_smem_plan_segmenting(monkeypatch):
     y_seg = np.asarray(y)[0][:384]
     np.testing.assert_allclose(y_seg, y_ref, atol=1e-3)
     np.testing.assert_allclose(y_seg, y_one, atol=1e-5)
+
+
+def test_run_alignment_property_and_gate():
+    """r5 run-aligned packs (VERDICT r4 item 2): when per-group padding
+    stays under the 5% gate, every 8-chunk sub-block of the stream shares
+    one cj (the kernel's run body relies on it: one dynamic output RMW
+    per run), pad chunks carry the group's cj with zero vals, and the
+    spmv matches the oracle. Packs whose group padding would exceed the
+    20%% gate (mesh2d-like: many 1-3 chunk groups) must REFUSE alignment
+    and stay flat."""
+    from tpusparse.formats.rsell import _RUN
+
+    # dense-ish groups -> tiny pad fraction -> aligned
+    a = generators.random_sparse_matrix(1024, 1024, density=0.3, seed=5,
+                                        distribution="powerlaw")
+    f = RsellMatrix.from_dense(a)
+    assert f.run == _RUN, f.run
+    cj = np.asarray(f.cj)
+    assert cj.size % _RUN == 0
+    blocks = cj.reshape(-1, _RUN)
+    assert (blocks == blocks[:, :1]).all(), "run straddles groups"
+    x = generators.random_sparse_vector(1024, density=0.5, seed=5)
+    assert_close(f.spmv(x), reference.sgemv_cpu(x, a), name="rsell run=8")
+
+    # many 1-3 chunk groups -> pad > 5% -> flat body keeps the bytes
+    b = generators.random_sparse_matrix(256, 2048, density=0.01, seed=6)
+    g = RsellMatrix.from_dense(b)
+    assert g.run == 1, g.run
+    xb = generators.random_sparse_vector(256, density=0.5, seed=6)
+    assert_close(g.spmv(xb), reference.sgemv_cpu(xb, b), name="rsell run=1")
+
+
+def test_run_alignment_legacy_aux_loads_flat():
+    """Packs saved before the run field (5-entry aux) load as run=1."""
+    a = generators.random_sparse_matrix(384, 256, density=0.2, seed=8)
+    f = RsellMatrix.from_dense(a)
+    leaves, aux = f.tree_flatten()
+    legacy = RsellMatrix.tree_unflatten(tuple(aux)[:5], leaves)
+    assert legacy.run == 1
+    x = generators.random_sparse_vector(384, density=0.5, seed=8)
+    assert_close(legacy.spmv(x), reference.sgemv_cpu(x, a),
+                 name="rsell legacy aux")
+
+
+def test_run_alignment_sharded_uniform():
+    """Sharded packs carry one uniform run flag; aligned shard streams
+    stay correct through the mesh path."""
+    a = generators.random_sparse_matrix(768, 1024, density=0.3, seed=44,
+                                        distribution="powerlaw")
+    sh = rsell_shard_pack(a, 4, assignment="contiguous")
+    assert sh.run in (1, 8)
+    if sh.run == 8:
+        for d in range(4):
+            cjd = np.asarray(sh.cj[d]).reshape(-1, 8)
+            # pad rows (all-zero vals) are exempt; real runs constant
+            assert (cjd == cjd[:, :1]).all()
+    mesh = make_mesh({"n": 4}, jax.devices()[:4])
+    x = generators.random_sparse_vector(768, density=0.5, seed=44)
+    assert_close(rsell_spmm_sharded(sh, x, mesh),
+                 reference.sgemv_cpu(x, a), name="rsell sharded run")

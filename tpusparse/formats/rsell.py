@@ -139,17 +139,80 @@ def rsell_pack_csr(csr, sort: bool | str = "auto",
                         tile_chunks, w_jt)
 
 
+_RUN = 8                       # run alignment quantum (kernel run body)
+# Align only when group padding stays under this fraction of the stream.
+# Breakeven: the flat body's per-chunk dynamic RMW measured +38% of the
+# stream's bytes-time at the GB config (671 us on a 1767 us bytes floor,
+# data/rsell_overlap.json), and pad chunks cost ~1x their byte-time
+# (streamed AND gathered) — 0.2 keeps a ~2x margin under the measured
+# breakeven while letting moderate-group packs (rmat ef16 4%, 1024^2
+# d=0.3 13%) take the aligned body; mesh2d-96's 39% stays flat.
+_RUN_PAD_FRAC = 0.2
+
+
+def _run_align(cj, ct, idx, vals):
+    """Pad each output group's chunk list to a multiple of _RUN so every
+    _RUN-chunk sub-block of the stream shares one cj — the kernel then
+    pays one dynamic-offset output RMW (and one ones-matmul) per run
+    instead of per chunk (kernels/rsell_spmv.py run body; measured
+    +509 us of per-chunk VMEM RMW at the 1.45 GB GB-scale config,
+    data/rsell_overlap.json). Pad chunks carry the GROUP's cj (so even
+    an all-pad run targets the right tile) and zero vals (contribute
+    nothing). Requires cj sorted ascending (pack order).
+
+    Returns (cj, ct, idx, vals) aligned, or None when the padding would
+    exceed _RUN_PAD_FRAC of the stream (small packs with many 1-3 chunk
+    groups — mesh2d-96 would pay ~39%; the flat kernel body is the
+    better trade there)."""
+    n = len(cj)
+    if n == 0:
+        return None
+    groups, counts = np.unique(cj, return_counts=True)
+    aligned = -(-counts // _RUN) * _RUN
+    pad_total = int(aligned.sum() - n)
+    if pad_total == 0:
+        return cj, ct, idx, vals
+    if pad_total > _RUN_PAD_FRAC * n:
+        return None
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    new_starts = np.concatenate([[0], np.cumsum(aligned)[:-1]])
+    # old chunk i of group g maps to new_starts[g] + (i - starts[g])
+    ginv = np.repeat(np.arange(groups.size), counts)
+    pos = new_starts[ginv] + (np.arange(n) - starts[ginv])
+    total = int(aligned.sum())
+    cj2 = np.repeat(groups.astype(np.int32), aligned)
+    ct2 = np.zeros(total, np.int32)
+    idx2 = np.zeros((total, _SUB, _LANES), np.int8)
+    vals2 = np.zeros((total, _SUB, _LANES), vals.dtype)
+    ct2[pos] = ct
+    idx2[pos] = idx
+    vals2[pos] = vals
+    return cj2, ct2, idx2, vals2
+
+
 def _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig, mp, np_, nnz,
-                 inv_perm, perm_plan, tiles, tile_chunks, w_jt):
+                 inv_perm, perm_plan, tiles, tile_chunks, w_jt,
+                 run_align: bool | str = "auto"):
     if nchunk == 0:                            # kernel needs >= 1 chunk
         cj = np.zeros(1, np.int32)
         ct = np.zeros(1, np.int32)
         idx = np.zeros((1, _SUB, _LANES), np.int8)
         vals = np.zeros((1, _SUB, _LANES), np.float32)
+    run = 1
+    if run_align is not False and nchunk:
+        out = _run_align(cj, ct, idx, vals)
+        if out is not None:
+            cj, ct, idx, vals = out
+            run = _RUN
+        elif run_align is True:
+            raise ValueError("run_align=True but group padding exceeds "
+                             f"{_RUN_PAD_FRAC:.0%} of the stream")
     # step-size alignment: long chunk lists align to 128 so the kernel can
     # pick a ~1 MB (128-chunk) grid step (divisor snap would otherwise
     # degrade to 8 on unlucky counts); relative padding <= 12.5%, and zero
-    # chunks multiply zeros into group 0 — harmless
+    # chunks multiply zeros into group 0 — harmless. 128 is a multiple of
+    # _RUN, so tail pads form whole (all-zero) runs and both kernel
+    # bodies stay correct.
     align = 128 if len(cj) >= 1024 else _SUB
     pad = -len(cj) % align if len(cj) >= 64 else 0
     if pad:
@@ -158,17 +221,26 @@ def _finish_pack(cj, ct, idx, vals, nchunk, w_max, m, n_orig, mp, np_, nnz,
         idx = np.concatenate([idx, np.zeros((pad, _SUB, _LANES), np.int8)])
         vals = np.concatenate([vals, np.zeros((pad, _SUB, _LANES),
                                               vals.dtype)])
+    if run > 1 and len(cj) % _RUN:             # short-list guard (<64)
+        extra = -len(cj) % _RUN
+        cj = np.concatenate([cj, np.zeros(extra, np.int32)])
+        ct = np.concatenate([ct, np.zeros(extra, np.int32)])
+        idx = np.concatenate([idx,
+                              np.zeros((extra, _SUB, _LANES), np.int8)])
+        vals = np.concatenate([vals, np.zeros((extra, _SUB, _LANES),
+                                              vals.dtype)])
     return dict(cj=cj, ct=ct, idx=idx, vals=vals, shape=(m, n_orig),
                 padded=(mp, np_), nnz=int(nnz), n_real=nchunk,
                 w_max=w_max, inv_perm=inv_perm, perm_plan=perm_plan,
+                run=run,
                 _tiles=tiles, _tile_chunks=tile_chunks, _w_jt=w_jt)
 
 
 @jax.tree_util.register_pytree_node_class
 class RsellMatrix:
     def __init__(self, cj, ct, idx, vals, shape, padded, nnz: int,
-                 n_real: int, w_max: int, inv_perm=None, perm_plan=None,
-                 **_ignored):
+                 n_real: int, w_max: int, run: int = 1, inv_perm=None,
+                 perm_plan=None, **_ignored):
         self.cj = cj
         self.ct = ct
         self.idx = idx
@@ -178,17 +250,21 @@ class RsellMatrix:
         self.nnz = nnz
         self.n_real = n_real           # chunks before zero padding
         self.w_max = w_max             # widest tile demand (diagnostic)
+        self.run = run                 # pack run alignment (1 = flat)
         self.inv_perm = inv_perm       # None when packed unsorted
         self.perm_plan = perm_plan     # (oidx, oh) for kernels/permute.py
 
     def tree_flatten(self):
         return ((self.cj, self.ct, self.idx, self.vals, self.inv_perm,
                  self.perm_plan),
-                (self.shape, self.padded, self.nnz, self.n_real, self.w_max))
+                (self.shape, self.padded, self.nnz, self.n_real,
+                 self.w_max, self.run))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         cj, ct, idx, vals, inv_perm, perm_plan = children
+        if len(aux) == 5:              # files saved before the run field
+            aux = (*aux, 1)
         return cls(cj, ct, idx, vals, *aux, inv_perm=inv_perm,
                    perm_plan=perm_plan)
 
@@ -244,7 +320,7 @@ class RsellMatrix:
         if x2d.shape[1] != mp:
             x2d = jnp.pad(x2d, ((0, 0), (0, mp - x2d.shape[1])))
         out = rsell_spmm_padded(self.cj, self.ct, self.idx, self.vals, x2d,
-                                n_padded=np_)
+                                n_padded=np_, run=self.run)
         y = out[::_SUB][:b]
         if self.perm_plan is not None:
             from tpusparse.kernels.permute import apply_permutation
@@ -267,7 +343,8 @@ class RsellShards:
     """
 
     def __init__(self, cj, ct, idx, vals, group_map, shape, padded, nnz,
-                 counts, w_shard, perm_plan=None):
+                 counts, w_shard, perm_plan=None, run: int = 1):
+        self.run = run                 # uniform pack run alignment
         self.cj = cj                   # (D, Lmax) int32 local group
         self.ct = ct                   # (D, Lmax) int32 window
         self.idx = idx                 # (D, Lmax, 8, 128) int8
@@ -373,7 +450,14 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
              for d in range(n_shards)]
     counts = np.array([p["n_real"] for p in packs], dtype=np.int64)
     w_shard = np.array([p["w_max"] for p in packs], dtype=np.int64)
+    # one static kernel serves every shard, so the run flag must be
+    # uniform: run-aligned only when every shard's pack aligned (packs
+    # whose group padding would exceed the 5% gate fall back to flat, and
+    # an aligned pack is still correct under the flat body)
+    run = _RUN if all(p.get("run", 1) == _RUN for p in packs) else 1
     lmax = max(int(max(p["cj"].shape[0] for p in packs)), 1)
+    if run > 1:
+        lmax = -(-lmax // _RUN) * _RUN
     cj_s = np.zeros((n_shards, lmax), np.int32)
     ct_s = np.zeros((n_shards, lmax), np.int32)
     idx_s = np.zeros((n_shards, lmax, _SUB, _LANES), np.int8)
@@ -399,4 +483,4 @@ def rsell_shard_pack(csr_or_dense, n_shards: int,
     group_map = (assign[:, ::_LANES] // _LANES).astype(np.int32)  # info only
     return RsellShards(cj_s, ct_s, idx_s, val_s, group_map,
                        (m, n), (mp, np_), int(csr.nnz), counts, w_shard,
-                       perm_plan=perm_plan)
+                       perm_plan=perm_plan, run=run)

@@ -57,7 +57,7 @@ def wide_fits(m: int, n: int, batch: int = 1) -> bool:
 
 
 def _rsell_kernel(cjct_ref, idx_ref, val_ref, x_ref, o_ref, *,
-                  c: int, batch: int):
+                  c: int, batch: int, run: int):
     k = pl.program_id(0)
 
     @pl.when(k == 0)
@@ -65,6 +65,35 @@ def _rsell_kernel(cjct_ref, idx_ref, val_ref, x_ref, o_ref, *,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     ones = jnp.ones((_SUB, _SUB), jnp.float32)
+    if run > 1:
+        # Run-aligned body (r5, VERDICT r4 item 2): the pack guarantees
+        # every ``run``-chunk sub-block shares one output group cj, so the
+        # kernel accumulates the run's products elementwise in a VREG and
+        # pays ONE ones-matmul + ONE dynamic-offset output RMW per run
+        # instead of per chunk. Measured at the 1.45 GB synthetic config
+        # (scripts/rsell_overlap_study.py, data/rsell_overlap.json): the
+        # flat body's per-chunk dynamic RMW cannot be register-allocated
+        # by Mosaic (a VMEM load+store pair per chunk, +509 us over the
+        # static-store ablation); the run body reads 2019 us = 1.14x the
+        # bytes floor vs 2690 flat and 3194 in the r4 production record.
+        for r in range(c // run):
+            base = k * c + r * run
+            cj = jax.lax.shift_right_logical(cjct_ref[base], 16)
+            cols = pl.dslice(cj * _LANES, _LANES)
+            for b in range(batch):
+                tot = jnp.zeros((_SUB, _LANES), jnp.float32)
+                for i in range(run):
+                    ct = jax.lax.bitwise_and(cjct_ref[base + i], 0xFFFF)
+                    idx8 = idx_ref[r * run + i].astype(jnp.int32)
+                    v8 = val_ref[r * run + i].astype(jnp.float32)
+                    xw = x_ref[b:b + 1, pl.dslice(ct * _LANES, _LANES)]
+                    xg = jnp.take_along_axis(
+                        jnp.broadcast_to(xw, (_SUB, _LANES)), idx8, axis=1)
+                    tot = tot + v8 * xg
+                acc = dot2_exact_lhs(ones, tot, (((1,), (0,)), ((), ())))
+                o_ref[b * _SUB:(b + 1) * _SUB, cols] += \
+                    acc.astype(o_ref.dtype)
+        return
     for i in range(c):
         g = k * c + i
         # (cj, ct) ride ONE packed int32 per chunk: the scalar-prefetch
@@ -87,7 +116,7 @@ def _rsell_kernel(cjct_ref, idx_ref, val_ref, x_ref, o_ref, *,
 
 
 @functools.partial(jax.jit, static_argnames=("n_padded", "interpret",
-                                              "chunks_per_step"))
+                                              "chunks_per_step", "run"))
 def rsell_spmm_padded(
     cj: jax.Array,       # (nchunk,) int32 — output group per chunk
     ct: jax.Array,       # (nchunk,) int32 — contraction window per chunk
@@ -98,6 +127,8 @@ def rsell_spmm_padded(
     n_padded: int,
     interpret: bool | None = None,
     chunks_per_step: int | None = None,   # tuning override of the c rule
+    run: int = 1,        # pack's run alignment (8 = every 8-chunk
+                         # sub-block shares cj; see _rsell_kernel)
 ) -> jax.Array:          # (B * 8, N_padded): row b*8 holds y_b
     if interpret is None:
         interpret = default_interpret()
@@ -124,11 +155,26 @@ def rsell_spmm_padded(
     # cap 256 (r4 sweep on the rmat-s13-ef16 gallery row: 64/128/256/512
     # -> 33.4/28.6/26.5/28.6 us; the 1 MB bytes rule picks 205 there and
     # snaps up). Past geometry the row sits at the measured gather floor:
-    # t ~ max-overlap(bytes/819 GB/s, slots/205 per cycle) — BENCH.md
-    c = chunks_per_step if chunks_per_step else blocks_per_step(
-        _SUB * _LANES * (vals.dtype.itemsize + 1), nchunk, cap=256)
+    # t ~ max-overlap(bytes/819 GB/s, slots/205 per cycle) — BENCH.md.
+    # Run-aligned packs size steps in RUNS so c stays a run multiple.
+    unit = _SUB * _LANES * (vals.dtype.itemsize + 1)
+    if chunks_per_step:
+        c = chunks_per_step
+    elif run > 1:
+        # run packs take 2 MB steps / cap 512: at the 1.45 GB synthetic
+        # config c=512 measured 1945 us (= the stream-only floor, 0.91
+        # roofline) vs 2019 at c=256 — with one RMW per run the unrolled
+        # body is cheap enough to double the step (data/rsell_overlap.json)
+        c = run * blocks_per_step(unit * run, nchunk // run,
+                                  cap=max(1, 512 // run),
+                                  target=2 * 1024 * 1024)
+    else:
+        c = blocks_per_step(unit, nchunk, cap=256)
     if nchunk % c:
         raise ValueError(f"chunks_per_step={c} must divide nchunk={nchunk}")
+    if run > 1 and c % run:
+        raise ValueError(f"chunks_per_step={c} must be a multiple of the "
+                         f"pack's run alignment {run}")
     # the packed plan caps group/window ids at 16 bits each
     if n_padded // _LANES > 0xFFFF or x.shape[1] // _LANES > 0xFFFF:
         raise ValueError(
@@ -158,7 +204,7 @@ def rsell_spmm_padded(
                                    lambda k, cjct: (0, 0)),
         )
         return pl.pallas_call(
-            functools.partial(_rsell_kernel, c=c, batch=b),
+            functools.partial(_rsell_kernel, c=c, batch=b, run=run),
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((b * _SUB, n_padded), x.dtype),
             compiler_params=pltpu.CompilerParams(

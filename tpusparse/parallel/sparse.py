@@ -224,7 +224,8 @@ def rsell_spmm_sharded(shards, x: Any, mesh: Mesh) -> jax.Array:
     def f(cj_loc, ct_loc, idx_loc, vals_loc, x_full):
         out = rsell_spmm_padded(cj_loc[0], ct_loc[0], idx_loc[0],
                                 vals_loc[0], x_full,
-                                n_padded=nb_loc * _LANES)
+                                n_padded=nb_loc * _LANES,
+                                run=getattr(shards, "run", 1))
         return out[::_SUB]
 
     y = _shard_map(f, mesh=mesh, check_vma=False,
