@@ -201,15 +201,15 @@ def main(argv=None):
     cj, ct, idx, vals, x = synth(nchunk, m)
     nbytes = nchunk * _SUB * _LANES * 5
     floors = dict(
-        bytes_us=nbytes / BW * 1e6,
-        gather_us=nchunk * _SUB * _LANES / GATHER * 1e6,
+        floor_bytes_us=nbytes / BW * 1e6,
+        floor_gather_us=nchunk * _SUB * _LANES / GATHER * 1e6,
     )
     rec = dict(nchunk=nchunk, m=m, c=c, seg=args.seg,
                gb=round(nbytes / 1e9, 3), **{k: round(v, 1)
                                              for k, v in floors.items()})
     print(f"# nchunk={nchunk} ({nbytes/1e9:.2f} GB) m={m} c={c} "
-          f"seg={args.seg} | floors: bytes {floors['bytes_us']:.0f} us, "
-          f"gather {floors['gather_us']:.0f} us", flush=True)
+          f"seg={args.seg} | floors: bytes {floors['floor_bytes_us']:.0f}"
+          f" us, gather {floors['floor_gather_us']:.0f} us", flush=True)
     for variant in args.variants.split(","):
         s = run_variant(variant, cj, ct, idx, vals, x, c=c,
                         seg_cap=args.seg, interpret=args.interpret)

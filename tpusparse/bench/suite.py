@@ -56,7 +56,11 @@ def registry(full: bool = True) -> list[dict[str, Any]]:
 
     entries.append(dict(
         name="awsp_pallas",
-        prepare=lambda a: AwspMatrix.from_dense(a),
+        # g=8 pinned: the canonical workload is static full-live X, where
+        # coarser skip groups buy DMA-step amortization (the r2-measured
+        # geometry this headline was tuned at). The format's g=1 DEFAULT
+        # targets dynamic serving (BENCH.md §dynamic, r5 floor study).
+        prepare=lambda a: AwspMatrix.from_dense(a, g=8),
         run=full_plan_run,
     ))
     if not full:
