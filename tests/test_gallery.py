@@ -132,3 +132,32 @@ def test_every_workload_is_buildable_and_routes():
         s = matrix_stats_csr(a)
         assert gallery.route_name(a, s) in (
             "sell", "binned", "rsell", "tcsr", "dia", "asp", "awsp")
+
+
+def test_scale_train_gate_records_sizing_law():
+    """bench.scale pre-sizes the train stage (VERDICT r4 item 4): when
+    twins + grads + the uploaded pack (5x format bytes) exceed the
+    operand budget, the record carries a train_gate law naming the
+    sharded path instead of a raw RESOURCE_EXHAUSTED."""
+    from tpusparse.bench import scale as S
+    from tpusparse.bench.roofline import format_bytes
+    from tpusparse.formats.auto import auto_format
+    from tpusparse.testing import generators
+
+    csr = generators.random_sparse_csr(512, 512, 0.05, seed=42,
+                                       distribution="powerlaw")
+    nbytes = format_bytes(auto_format(csr))
+    # budget between the pack (runs) and 5x the pack (train gated)
+    rec = S.run(m=512, density=0.05, quick=True, verbose=False,
+                hbm_budget=3 * nbytes)
+    assert "train_gate" in rec, rec
+    assert "trainable_linear_sharded" in rec["train_gate"]
+    assert "train_us" not in rec and "train_error" not in rec
+    assert "spmv_us" in rec          # the chain up to the gate still ran
+
+
+def test_scale_quick_train_runs_when_it_fits():
+    from tpusparse.bench import scale as S
+
+    rec = S.run(m=512, density=0.05, quick=True, verbose=False)
+    assert "train_us" in rec, rec.get("train_error", rec)
