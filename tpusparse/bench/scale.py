@@ -201,13 +201,26 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
             (ap, params), t_tw = _wall(lambda: trainable_linear(csr)[:2])
             rec["twin_pack_s"] = round(t_tw, 1)
 
+            # GB-scale 413 wall (r5): ``ap`` closes over the twin packs'
+            # STRUCTURE planes (in-window indices + the two slot-
+            # permutation planes — GBs at this scale). jit embeds closure
+            # arrays in the compile payload, which the axon remote-compile
+            # endpoint rejects (HTTP 413) long before memory matters.
+            # closure_convert hoists them into explicit runtime args:
+            # uploaded once with device_put like everything else, absent
+            # from the payload.
+            x_j = jnp.asarray(x)
+            ap_c, consts = jax.closure_convert(
+                lambda p, v: ap(p, v), params, x_j)
+            consts_d = [jax.device_put(c) for c in consts]
+
             def chain_tr(k):
                 @jax.jit
-                def runk(p, xx):
+                def runk(p, xx, cs):
                     v = xx
                     for _ in range(k):
                         loss, dp = jax.value_and_grad(
-                            lambda pp: (ap(pp, v) ** 2).sum())(p)
+                            lambda pp: (ap_c(pp, v, *cs) ** 2).sum())(p)
                         v = xx + (loss * 1e-37).astype(xx.dtype)
                     return loss
 
@@ -215,12 +228,19 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
 
             p0 = jax.tree_util.tree_map(
                 lambda l: jax.device_put(jnp.asarray(l)), params)
+            # k2 pinned small: the auto rule (span >= 10 ms) would unroll
+            # 168 value_and_grad iterations — at GB scale that HLO (a)
+            # exceeds the axon remote-compile payload limit (HTTP 413,
+            # measured at 32768^2 r5) and (b) multiplies live AD temps
+            # (the r4/r5 65536^2 RESOURCE_EXHAUSTED). 8 iterations x
+            # >= 1.3 ms each carries a >= 10 ms span at every config
+            # this bench admits.
             rt = chain_device_time(chain_tr, p0,
-                                   jax.device_put(jnp.asarray(x)),
+                                   jax.device_put(x_j), consts_d,
                                    name="scale-train-step",
                                    bytes_moved=3 * nbytes,
-                                   k1=2 if quick else 3,
-                                   k2=4 if quick else None,
+                                   k1=2,
+                                   k2=4 if quick else 10,
                                    reps=2 if quick else 7)
             rec["train_us"] = round(rt.seconds * 1e6, 1)
             log(f"  fwd+bwd step: {rt}")
