@@ -230,9 +230,12 @@ def _trainable_from_pack(pack: "_TwinPack"):
     from tpusparse.kernels.sell_grad import sell_dvals_padded
 
     fmt, fmt_t = pack.fmt, pack.fmt_t
-    idx_s, idx_ts = jnp.asarray(pack.s_f), jnp.asarray(pack.s_t)
-    idx = jnp.asarray(fmt.idx)
-    idx_t = jnp.asarray(fmt_t.idx)
+    default_statics = {
+        "idx": jnp.asarray(fmt.idx),       # fwd in-window offsets
+        "idx_t": jnp.asarray(fmt_t.idx),   # transpose-layout offsets
+        "s_f": jnp.asarray(pack.s_f),      # slot-permutation planes
+        "s_t": jnp.asarray(pack.s_t),      # (value-gradient kernels)
+    }
     params, masks, resync = _tied_params(pack)
     # keep only static metadata in the closures — fmt/fmt_t hold host-side
     # numpy copies of vals+idx (~2x format bytes) that params/idx already
@@ -249,25 +252,41 @@ def _trainable_from_pack(pack: "_TwinPack"):
         v2 = jnp.atleast_2d(jnp.asarray(v))
         return jnp.pad(v2, ((0, 0), (0, width - v2.shape[1])))
 
-    def _primal(params, x):
-        return _run(SellMatrix(idx, params["vals"], shape, padded, w_f,
-                               nnz), x)
+    # The structure planes ride as ARGUMENTS of the custom_vjp (integer
+    # primals; their cotangents are the sanctioned float0 zeros). Why:
+    # closed-over arrays lower as INLINE stablehlo constants — measured
+    # 34 MB of HLO at 4096^2 d=0.02 and 135 MB at 8192^2 — and at GB
+    # scale the serialized module exceeds the axon remote-compile payload
+    # limit (HTTP 413, r5). Passing ``apply.statics`` (device_put once)
+    # via the ``statics=`` kwarg keeps the program size flat; omitting it
+    # keeps the small-scale convenience path byte-for-byte unchanged.
+    def _primal(statics, params, x):
+        return _run(SellMatrix(statics["idx"], params["vals"], shape,
+                               padded, w_f, nnz), x)
 
-    apply = jax.custom_vjp(_primal)
+    cv = jax.custom_vjp(_primal)
 
-    def fwd(params, x):
-        return _primal(params, x), (params["vals_t"], x)
+    def fwd(statics, params, x):
+        return _primal(statics, params, x), (statics, params["vals_t"], x)
 
     def bwd(res, g):
-        vals_t, x = res
-        dx = _run(SellMatrix(idx_t, vals_t, shape_t, padded_t, w_t, nnz), g)
+        statics, vals_t, x = res
+        dx = _run(SellMatrix(statics["idx_t"], vals_t, shape_t, padded_t,
+                             w_t, nnz), g)
         x2, g2 = _pad2(x, mp), _pad2(g, np_pad)
-        dvals = sell_dvals_padded(idx_s, x2, g2, w=w_f)
-        dvals_t = sell_dvals_padded(idx_ts, g2, x2, w=w_t)
-        return {"vals": dvals, "vals_t": dvals_t}, dx
+        dvals = sell_dvals_padded(statics["s_f"], x2, g2, w=w_f)
+        dvals_t = sell_dvals_padded(statics["s_t"], g2, x2, w=w_t)
+        ct_statics = jax.tree_util.tree_map(
+            lambda a: np.zeros(a.shape, jax.dtypes.float0), statics)
+        return ct_statics, {"vals": dvals, "vals_t": dvals_t}, dx
 
-    apply.defvjp(fwd, bwd)
+    cv.defvjp(fwd, bwd)
 
+    def apply(params, x, statics=None):
+        return cv(default_statics if statics is None else statics,
+                  params, x)
+
+    apply.statics = default_statics
     return apply, params, masks, resync
 
 

@@ -201,26 +201,23 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
             (ap, params), t_tw = _wall(lambda: trainable_linear(csr)[:2])
             rec["twin_pack_s"] = round(t_tw, 1)
 
-            # GB-scale 413 wall (r5): ``ap`` closes over the twin packs'
-            # STRUCTURE planes (in-window indices + the two slot-
-            # permutation planes — GBs at this scale). jit embeds closure
-            # arrays in the compile payload, which the axon remote-compile
-            # endpoint rejects (HTTP 413) long before memory matters.
-            # closure_convert hoists them into explicit runtime args:
-            # uploaded once with device_put like everything else, absent
-            # from the payload.
+            # GB-scale 413 wall (r5): closed-over structure planes lower
+            # as INLINE stablehlo constants (measured 135 MB of HLO at
+            # 8192^2), and the axon remote-compile endpoint rejects the
+            # payload (HTTP 413) long before memory matters. Thread them
+            # as runtime arguments instead — uploaded once, program size
+            # flat (autodiff._trainable_from_pack statics).
             x_j = jnp.asarray(x)
-            ap_c, consts = jax.closure_convert(
-                lambda p, v: ap(p, v), params, x_j)
-            consts_d = [jax.device_put(c) for c in consts]
+            statics_d = jax.tree_util.tree_map(jax.device_put, ap.statics)
 
             def chain_tr(k):
                 @jax.jit
-                def runk(p, xx, cs):
+                def runk(p, xx, st):
                     v = xx
                     for _ in range(k):
                         loss, dp = jax.value_and_grad(
-                            lambda pp: (ap_c(pp, v, *cs) ** 2).sum())(p)
+                            lambda pp: (ap(pp, v, statics=st) ** 2).sum()
+                        )(p)
                         v = xx + (loss * 1e-37).astype(xx.dtype)
                     return loss
 
@@ -236,7 +233,7 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
             # >= 1.3 ms each carries a >= 10 ms span at every config
             # this bench admits.
             rt = chain_device_time(chain_tr, p0,
-                                   jax.device_put(x_j), consts_d,
+                                   jax.device_put(x_j), statics_d,
                                    name="scale-train-step",
                                    bytes_moved=3 * nbytes,
                                    k1=2,
