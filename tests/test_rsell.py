@@ -156,11 +156,20 @@ def test_smem_plan_segmenting(monkeypatch):
     f = RsellMatrix.from_dense(a)
     x = generators.random_sparse_vector(512, density=0.5, seed=9)
     y_ref = reference.sgemv_cpu(x, a)
-    y_one = np.asarray(f.spmv(x))
 
     nchunk = int(f.cj.shape[0])
     cps = 4
     assert nchunk % cps == 0 and nchunk // cps >= 3, nchunk
+    mp, np_ = f.padded
+    x2d = jnp.pad(jnp.asarray(x)[None, :], ((0, 0), (0, mp - x.shape[0])))
+
+    def post(out):
+        # same post-processing as RsellMatrix._run (unpermute demand sort)
+        y = out[::8][:1]
+        if f.perm_plan is not None:
+            from tpusparse.kernels.permute import apply_permutation
+            y = apply_permutation(y, f.perm_plan, f.shape[1])
+        return np.asarray(y)[0][:384]
 
     monkeypatch.setattr(K, "_SMEM_PLAN_CHUNKS", cps)  # 1 step per segment
     calls = []
@@ -171,17 +180,18 @@ def test_smem_plan_segmenting(monkeypatch):
         return orig(*args, **kw)
 
     monkeypatch.setattr(K.pl, "pallas_call", counting)
-    mp, np_ = f.padded
-    x2d = jnp.pad(jnp.asarray(x)[None, :], ((0, 0), (0, mp - x.shape[0])))
-    out = K.rsell_spmm_padded(f.cj, f.ct, f.idx, f.vals, x2d,
-                              n_padded=np_, chunks_per_step=cps)
+    out_seg = K.rsell_spmm_padded(f.cj, f.ct, f.idx, f.vals, x2d,
+                                  n_padded=np_, chunks_per_step=cps)
+    # count BEFORE post(): apply_permutation adds its own pallas_call
     assert len(calls) == nchunk // cps, (len(calls), nchunk, cps)
-    # same post-processing as RsellMatrix._run (unpermute demand sort)
-    y = out[::8][:1]
-    if f.perm_plan is not None:
-        from tpusparse.kernels.permute import apply_permutation
-        y = apply_permutation(y, f.perm_plan, f.shape[1])
-    y_seg = np.asarray(y)[0][:384]
+    y_seg = post(out_seg)
+    # unsegmented baseline at the SAME kernel config (run/cps): the jit
+    # cache keys only on static args, so the cap change needs an explicit
+    # cache clear to re-trace with one segment
+    K.rsell_spmm_padded.clear_cache()
+    monkeypatch.setattr(K, "_SMEM_PLAN_CHUNKS", 192_000)
+    y_one = post(K.rsell_spmm_padded(f.cj, f.ct, f.idx, f.vals, x2d,
+                                     n_padded=np_, chunks_per_step=cps))
     np.testing.assert_allclose(y_seg, y_ref, atol=1e-3)
     np.testing.assert_allclose(y_seg, y_one, atol=1e-5)
 

@@ -52,7 +52,8 @@ def _wall(fn, *a, **kw):
 
 def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
         train: bool = True, hbm_budget: int = 12_000_000_000,
-        verbose: bool = True, quick: bool = False) -> dict[str, Any]:
+        verbose: bool = True, quick: bool = False,
+        train_k2: int | None = None) -> dict[str, Any]:
     """``quick``: tiny chains for CPU smoke tests (times meaningless).
     ``hbm_budget``: packs predicted past this are recorded as a
     quantum-floor cliff instead of attempted (16 GB HBM minus headroom
@@ -237,7 +238,7 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
                                    name="scale-train-step",
                                    bytes_moved=3 * nbytes,
                                    k1=2,
-                                   k2=4 if quick else 10,
+                                   k2=train_k2 or (4 if quick else 10),
                                    reps=2 if quick else 7)
             rec["train_us"] = round(rt.seconds * 1e6, 1)
             log(f"  fwd+bwd step: {rt}")
@@ -255,9 +256,14 @@ def main(argv=None) -> int:
     p.add_argument("--m", type=int, default=262144)
     p.add_argument("--density", type=float, default=2e-3)
     p.add_argument("--no-train", action="store_true")
+    p.add_argument("--train-k2", type=int, default=None,
+                   help="unrolled train-chain length (smaller = smaller "
+                        "compile payload; the 65536^2 program at k2=10 "
+                        "crashed the axon compile helper)")
     p.add_argument("--json", default="BENCH_scale.json")
     args = p.parse_args(argv)
-    rec = run(m=args.m, density=args.density, train=not args.no_train)
+    rec = run(m=args.m, density=args.density, train=not args.no_train,
+              train_k2=args.train_k2)
     if args.json:
         import os
         recs = []
