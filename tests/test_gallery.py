@@ -147,11 +147,13 @@ def test_scale_train_gate_records_sizing_law():
     csr = generators.random_sparse_csr(512, 512, 0.05, seed=42,
                                        distribution="powerlaw")
     nbytes = format_bytes(auto_format(csr))
-    # budget between the pack (runs) and 5x the pack (train gated)
+    # budget just above the pack (chain runs) but under the twin-pack
+    # sizing (params + grads + planes + pack -> train gated)
     rec = S.run(m=512, density=0.05, quick=True, verbose=False,
-                hbm_budget=3 * nbytes)
+                hbm_budget=int(1.2 * nbytes))
     assert "train_gate" in rec, rec
     assert "trainable_linear_sharded" in rec["train_gate"]
+    assert rec["train_operands_gb"] > 0
     assert "train_us" not in rec and "train_error" not in rec
     assert "spmv_us" in rec          # the chain up to the gate still ran
 

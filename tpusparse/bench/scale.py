@@ -178,29 +178,40 @@ def run(m: int = 262144, density: float = 2e-3, seed: int = 42,
     float(jnp.sum(jax.device_put(jnp.ones(8, jnp.float32))))
 
     if train:
-        # Pre-size the train stage instead of discovering OOM on hardware
-        # (the r4 65536^2 run died with a raw RESOURCE_EXHAUSTED that the
-        # prose then failed to report — VERDICT r4 weak #1): twin layouts
-        # (vals + vals_t) + their grads + the already-uploaded SpMV pack
-        # = ~5x the format bytes of live operands, before XLA's AD
-        # workspace. A recorded gate is a RESULT (what fits single-chip);
-        # the sharded step (autodiff.trainable_linear_sharded, in the
-        # 8-device dryrun) is the supported path past it.
-        train_need = 5 * nbytes
-        if train_need > hbm_budget:
-            rec["train_gate"] = (
-                f"twins(2x) + grads(2x) + uploaded pack(1x) = "
-                f"{train_need/1e9:.1f} GB of live operands > "
-                f"{hbm_budget/1e9:.0f} GB operand budget "
-                f"(16 GB HBM minus runtime reserve/transients); "
-                f"use trainable_linear_sharded on a mesh")
-            log(f"  train step gated: {rec['train_gate']}")
-            return rec
         try:
             from tpusparse.autodiff import trainable_linear
 
             (ap, params), t_tw = _wall(lambda: trainable_linear(csr)[:2])
             rec["twin_pack_s"] = round(t_tw, 1)
+
+            # Size the stage from the ACTUAL twin pack before uploading
+            # anything (r5; the r4 run died with a raw RESOURCE_EXHAUSTED
+            # the prose never reported, and prediction-based sizing is
+            # wrong both ways — flat-SELL w_global pricing says 32768^2
+            # cannot train, yet it does at 7.1 ms). Live on-device:
+            # params (vals+vals_t) + their grads + the structure planes
+            # + the already-uploaded SpMV pack + x/y. A recorded gate is
+            # a RESULT (what fits single-chip); the sharded step
+            # (autodiff.trainable_linear_sharded, in the 8-device
+            # dryrun) is the supported path past it.
+            def _tree_bytes(t):
+                return sum(np.asarray(l).nbytes
+                           for l in jax.tree_util.tree_leaves(t))
+
+            twin_b = _tree_bytes(params)
+            statics_b = _tree_bytes(ap.statics)
+            train_need = 2 * twin_b + statics_b + nbytes
+            rec["train_operands_gb"] = round(train_need / 1e9, 3)
+            if train_need > hbm_budget:
+                rec["train_gate"] = (
+                    f"params {twin_b/1e9:.1f} + grads {twin_b/1e9:.1f} "
+                    f"+ structure planes {statics_b/1e9:.1f} + uploaded "
+                    f"pack {nbytes/1e9:.1f} = {train_need/1e9:.1f} GB "
+                    f"live > {hbm_budget/1e9:.0f} GB operand budget "
+                    f"(16 GB HBM minus runtime reserve/AD workspace); "
+                    f"use trainable_linear_sharded on a mesh")
+                log(f"  train step gated: {rec['train_gate']}")
+                return rec
 
             # GB-scale 413 wall (r5): closed-over structure planes lower
             # as INLINE stablehlo constants (measured 135 MB of HLO at
