@@ -159,20 +159,27 @@ def _tied_params(pack: "_TwinPack"):
     constructors: the tied twin-layout values, their live-slot masks, and
     the exact re-tie map (transpose-entry i is forward-entry order[i] via
     csr.transpose's stable counting sort)."""
-    params = {"vals": jnp.asarray(pack.fmt.vals),
-              "vals_t": jnp.asarray(pack.fmt_t.vals)}
+    # HOST-side leaves on purpose (r5): an eager jnp.asarray here streams
+    # GBs to the device over the ~MB/s tunnel DURING packing and leaves
+    # them resident — at 65536^2 the twin pack alone exhausted HBM before
+    # the train stage could even size itself. Callers device_put what
+    # they need, once, where they need it.
+    params = {"vals": np.asarray(pack.fmt.vals),
+              "vals_t": np.asarray(pack.fmt_t.vals)}
     masks = {"vals": pack.mask_f, "vals_t": pack.mask_t}
     order = np.argsort(pack.csr.col_idx, kind="stable")
     t_vals_shape = pack.fmt_t.vals.shape
     t_map = np.full(int(np.prod(t_vals_shape)), -1, dtype=np.int64)
     t_map[pack.flat_t] = pack.flat_f[order]
-    t_gather = jnp.asarray(np.clip(t_map, 0, None).astype(np.int32))
-    t_live = jnp.asarray(t_map >= 0)
+    t_gather = np.clip(t_map, 0, None).astype(np.int32)
+    t_live = t_map >= 0
 
     def resync(p):
         """Re-derive vals_t from vals exactly (kills accumulated ulp
         drift); one slot-permutation gather — use sparingly."""
-        vt = jnp.where(t_live, p["vals"].ravel()[t_gather], 0.0)
+        vt = jnp.where(jnp.asarray(t_live),
+                       jnp.asarray(p["vals"]).ravel()[jnp.asarray(t_gather)],
+                       0.0)
         return {"vals": p["vals"], "vals_t": vt.reshape(t_vals_shape)}
 
     return params, masks, resync
@@ -230,11 +237,14 @@ def _trainable_from_pack(pack: "_TwinPack"):
     from tpusparse.kernels.sell_grad import sell_dvals_padded
 
     fmt, fmt_t = pack.fmt, pack.fmt_t
+    # host-side numpy (see _tied_params): the default small-scale path
+    # inlines these as HLO constants exactly as before; GB users pass
+    # device_put(apply.statics) via the statics kwarg
     default_statics = {
-        "idx": jnp.asarray(fmt.idx),       # fwd in-window offsets
-        "idx_t": jnp.asarray(fmt_t.idx),   # transpose-layout offsets
-        "s_f": jnp.asarray(pack.s_f),      # slot-permutation planes
-        "s_t": jnp.asarray(pack.s_t),      # (value-gradient kernels)
+        "idx": np.asarray(fmt.idx),        # fwd in-window offsets
+        "idx_t": np.asarray(fmt_t.idx),    # transpose-layout offsets
+        "s_f": np.asarray(pack.s_f),       # slot-permutation planes
+        "s_t": np.asarray(pack.s_t),       # (value-gradient kernels)
     }
     params, masks, resync = _tied_params(pack)
     # keep only static metadata in the closures — fmt/fmt_t hold host-side
