@@ -158,6 +158,12 @@ def rsell_spmm_padded(
     # t ~ max-overlap(bytes/819 GB/s, slots/205 per cycle) — BENCH.md.
     # Run-aligned packs size steps in RUNS so c stays a run multiple.
     unit = _SUB * _LANES * (vals.dtype.itemsize + 1)
+    # compile-size budget: the kernel body unrolls c x batch chunk
+    # visits, and Mosaic code size grows superlinearly past ~10k of them
+    # — a blockpruned B=32 step at c=448 serialized a 2.5 GiB executable
+    # (> the protobuf cap, r5). 8192 visits keeps the historical compile
+    # points (c=256 at B=32) inside the envelope.
+    visit_cap = max(_SUB, 8192 // b)
     if chunks_per_step:
         c = chunks_per_step
     elif run > 1:
@@ -166,10 +172,10 @@ def rsell_spmm_padded(
         # roofline) vs 2019 at c=256 — with one RMW per run the unrolled
         # body is cheap enough to double the step (data/rsell_overlap.json)
         c = run * blocks_per_step(unit * run, nchunk // run,
-                                  cap=max(1, 512 // run),
+                                  cap=max(1, min(512, visit_cap) // run),
                                   target=2 * 1024 * 1024)
     else:
-        c = blocks_per_step(unit, nchunk, cap=256)
+        c = blocks_per_step(unit, nchunk, cap=min(256, visit_cap))
     if nchunk % c:
         raise ValueError(f"chunks_per_step={c} must divide nchunk={nchunk}")
     if run > 1 and c % run:
